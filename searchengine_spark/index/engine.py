@@ -1,0 +1,278 @@
+"""Query engine over the materialized postings index.
+
+Mirrors the reference's query path (``internal/search/search.go:114-165``:
+term split → fuzzy/synonym expansion → boolean MUST filters → score →
+top-k) but as a distributed plan over the compressed postings table:
+
+1. driver: expand + dedup query terms, look up per-term df from the
+   ``terms`` table (parquet filter pushdown; result is tiny), compute
+   idf per term;
+2. scan only the postings **buckets** the query terms hash to
+   (directory partition pruning) with ``term IN (...)`` pushed to
+   parquet row groups;
+3. **block-max pruning** (WAND-style, north_rule): segments are
+   doc-aligned across terms (``seg = doc_int >> 16``), so
+   ``ub(seg) = Σ_t idf_t · seg_max_tfnorm(t, seg)`` bounds the total
+   BM25 score of every doc in that segment. A metadata-only pass (no
+   postings bytes read — column pruning) scores the richest segments
+   first, establishes θ = k-th best exact score, and prunes every
+   segment with ``ub ≤ θ``. Exactness is preserved: a pruned segment
+   cannot contain a doc beating θ.
+4. decode+score survivors in an Arrow ``mapInPandas`` (vectorized
+   numpy; per-128-entry block bounds skip cold blocks within a
+   segment), aggregate per doc, global top-k via
+   ``orderBy().limit(k)`` (TakeOrderedAndProject);
+5. hydrate doc_id (and any payload) from ``docmap`` with an
+   ``isin``-pushdown point lookup.
+
+The result is rank-identical to :func:`..query.bm25.search_direct`
+(tested in tests/test_index_engine.py): same float64 expression shape,
+same score-desc/doc_id-asc tie-break.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from .catalog import IndexCatalog, Snapshot
+from .codec import BLOCK, decode_postings
+from .build import bucket_col
+
+
+@dataclass
+class IndexHandle:
+    spark: SparkSession
+    snapshot: Snapshot
+
+    @property
+    def stats(self) -> dict:
+        return self.snapshot.stats
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.snapshot.postings_dir)
+
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(self.snapshot.terms_dir)
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.snapshot.docmap_dir)
+
+
+def open_index(spark: SparkSession, catalog: IndexCatalog) -> IndexHandle:
+    snap = catalog.current()
+    if snap is None:
+        raise FileNotFoundError(f"no published snapshot under {catalog.root}")
+    return IndexHandle(spark, snap)
+
+
+# --------------------------------------------------------------------------
+# term lookup / expansion
+# --------------------------------------------------------------------------
+
+def term_dfs(ix: IndexHandle, terms: list[str]) -> dict[str, int]:
+    """df per existing query term — parquet-pushdown point lookups."""
+    if not terms:
+        return {}
+    rows = ix.terms().where(F.col("term").isin(terms)).select("term", "df").collect()
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def expand_fuzzy(ix: IndexHandle, term: str) -> list[str]:
+    """Fuzziness=1 expansion against the term dictionary (reference
+    ``internal/search/search.go:122``; FST automaton → here a pruned
+    dictionary scan: length ±1 window pushed to parquet, then exact
+    Levenshtein ≤ 1)."""
+    cand = (
+        ix.terms()
+        .where(F.length("term").between(len(term) - 1, len(term) + 1))
+        .where(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
+        .select("term")
+        .collect()
+    )
+    return sorted(r["term"] for r in cand)
+
+
+def expand_query(
+    ix: IndexHandle, query: str, *, fuzzy: bool = False, synonyms: bool = False
+) -> list[str]:
+    """Whitespace split (reference search.go:116) → analyzer-normalize →
+    synonym-group then fuzzy expansion → distinct, order-preserving."""
+    from ..oracle import tokenize
+
+    base: list[str] = []
+    for raw in query.split():
+        base.extend(tokenize(raw))
+    syn = S.synonym_map()
+    out: list[str] = []
+    for t in base:
+        group = list(syn[t]) if synonyms and t in syn else [t]
+        for g in group:
+            out.extend(expand_fuzzy(ix, g) if fuzzy else [g])
+    return list(dict.fromkeys(out))
+
+
+# --------------------------------------------------------------------------
+# scoring
+# --------------------------------------------------------------------------
+
+def _idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _make_scorer(idfs: dict[str, float], avgdl: float, theta: float = 0.0):
+    """mapInPandas stage: decode segments → per-entry contributions.
+
+    Emits (doc_int, contrib). Blocks whose idf·block_max_tfnorm bound is
+    ≤ θ are skipped for single-term queries (multi-term exactness at
+    block level would need cross-term doc alignment, which segments —
+    not blocks — provide; segment pruning already happened upstream).
+    """
+    k1, b = S.K1, S.B
+    single = len(idfs) == 1
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            outs_d, outs_s = [], []
+            for term, blob, bmax in zip(pdf["term"], pdf["postings"], pdf["block_max_tfnorm"]):
+                idf = idfs[term]
+                docs, tfs, dls = decode_postings(bytes(blob))
+                tfd = tfs.astype(np.float64)
+                dld = dls.astype(np.float64)
+                # identical association to bm25_score_expr → bit-equal f64
+                tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+                contrib = idf * tfn
+                if single and theta > 0.0:
+                    bm = np.asarray(bmax, dtype=np.float64) * idf
+                    keep_block = bm >= theta  # ties must survive (doc_id tie-break)
+                    if not keep_block.all():
+                        mask = np.repeat(keep_block, BLOCK)[: len(docs)]
+                        docs, contrib = docs[mask], contrib[mask]
+                outs_d.append(docs)
+                outs_s.append(contrib)
+            if outs_d:
+                yield pd.DataFrame(
+                    {
+                        "doc_int": np.concatenate(outs_d),
+                        "contrib": np.concatenate(outs_s),
+                    }
+                )
+
+    return score_batches
+
+
+def _buckets_of(ix: IndexHandle, terms: list[str]) -> list[int]:
+    nb = ix.snapshot.manifest["n_buckets"]
+    df = ix.spark.createDataFrame([(t,) for t in terms], "term STRING")
+    rows = df.select(bucket_col(F.col("term"), nb).alias("b")).distinct().collect()
+    return sorted({int(r["b"]) for r in rows})
+
+
+def search_index(
+    ix: IndexHandle,
+    terms: list[str],
+    *,
+    k: int = S.TOP_K,
+    doc_predicate: Column | None = None,
+    prune: bool = True,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Top-k (doc_id, score) over the postings index — rank-identical to
+    the direct path. ``doc_predicate`` filters candidate docs via docmap
+    (MUST block, reference search.go:133-139); df/idf stay corpus-global."""
+    spark = ix.spark
+    terms = list(dict.fromkeys(terms))
+    dfs = term_dfs(ix, terms)
+    terms = [t for t in terms if t in dfs]  # unseen terms match nothing
+    if not terms:
+        return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+    st = ix.stats
+    idfs = {t: _idf(st["n_docs"], dfs[t]) for t in terms}
+
+    buckets = _buckets_of(ix, terms)
+    segs = (
+        ix.postings()
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+
+    theta = 0.0
+    if prune and doc_predicate is None:
+        segs, theta = _prune_segments(ix, segs, idfs, k, overfetch)
+
+    scored = segs.select("term", "postings", "block_max_tfnorm").mapInPandas(
+        _make_scorer(idfs, st["avgdl"], theta), "doc_int LONG, contrib DOUBLE"
+    )
+
+    if doc_predicate is not None:
+        allowed = ix.docmap().where(doc_predicate).select("doc_int")
+        scored = scored.join(allowed, "doc_int", "left_semi")
+
+    topk = (
+        scored.groupBy("doc_int")
+        .agg(F.sum("contrib").alias("score_raw"))
+        .orderBy(F.desc("score_raw"), F.asc("doc_int"))
+        .limit(k)
+    )
+    ids = [int(r["doc_int"]) for r in topk.collect()]
+    if not ids:
+        return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+    hydrated = (
+        topk.join(ix.docmap().where(F.col("doc_int").isin(ids)).select("doc_int", "doc_id"), "doc_int")
+        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .select("doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"))
+    )
+    return hydrated
+
+
+def _prune_segments(
+    ix: IndexHandle, segs: DataFrame, idfs: dict[str, float], k: int, overfetch: int
+) -> tuple[DataFrame, float]:
+    """Block-max segment pruning. Metadata-only pass (columns term, seg,
+    n, seg_max_tfnorm — postings bytes never read), driver-side greedy
+    selection, θ from exact scores of the richest segments."""
+    meta = segs.select("term", "seg", "n", "seg_max_tfnorm").collect()
+    if not meta:
+        return segs, 0.0
+    ub: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for r in meta:
+        s = int(r["seg"])
+        ub[s] = ub.get(s, 0.0) + idfs[r["term"]] * float(r["seg_max_tfnorm"])
+        cnt[s] = cnt.get(s, 0) + int(r["n"])
+    ranked = sorted(ub, key=lambda s: -ub[s])
+    picked: list[int] = []
+    total = 0
+    for s in ranked:
+        picked.append(s)
+        total += cnt[s]
+        if total >= overfetch * k:
+            break
+    if len(picked) == len(ranked):
+        return segs, 0.0  # nothing prunable
+    head = segs.where(F.col("seg").isin([int(s) for s in picked]))
+    exact = (
+        head.select("term", "postings", "block_max_tfnorm")
+        .mapInPandas(_make_scorer(idfs, ix.stats["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
+        .groupBy("doc_int")
+        .agg(F.sum("contrib").alias("sc"))
+        .orderBy(F.desc("sc"))
+        .limit(k)
+        .collect()
+    )
+    if len(exact) < k:
+        return segs, 0.0  # not enough candidates to establish a safe θ
+    theta = float(exact[-1]["sc"])
+    chosen = set(picked)
+    # keep ties: a pruned doc scoring exactly θ could win the doc_id tie-break
+    survivors = [int(s) for s in ranked if ub[s] >= theta or s in chosen]
+    return segs.where(F.col("seg").isin(survivors)), theta

@@ -1,0 +1,124 @@
+"""Index build + index-backed search: rank-identity vs the direct path
+and vs the pure-Python oracle; resumability (north_rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index import build as B
+from searchengine_spark.index.build import build_index
+from searchengine_spark.index.catalog import IndexCatalog
+from searchengine_spark.index.engine import (
+    expand_fuzzy,
+    expand_query,
+    open_index,
+    search_index,
+)
+from searchengine_spark.query.bm25 import search_direct
+
+
+@pytest.fixture(scope="session")
+def catalog(spark, transcripts, tmp_path_factory):
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("index") / "transcripts"))
+    build_index(spark, transcripts, cat, n_buckets=8)
+    return cat
+
+
+@pytest.fixture(scope="session")
+def ix(spark, catalog):
+    return open_index(spark, catalog)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+QUERIES = [
+    ["spark"],
+    ["query", "plan", "shuffle"],
+    ["data", "model", "run"],  # heavy hitters
+    ["кепка", "шапка", "бейсболка", "панама"],
+    ["zzznotaterm"],
+    ["spark", "zzznotaterm"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["-".join(q) for q in QUERIES])
+def test_rank_identical_to_direct(ix, transcripts, terms):
+    assert _pairs(search_index(ix, terms)) == _pairs(search_direct(transcripts, terms))
+
+
+def test_pruned_equals_unpruned(ix):
+    terms = ["query", "plan", "shuffle"]
+    assert _pairs(search_index(ix, terms, prune=True)) == _pairs(
+        search_index(ix, terms, prune=False)
+    )
+
+
+def test_rank_identical_to_oracle(ix, oracle_index):
+    got = _pairs(search_index(ix, ["spark", "query", "plan"]))
+    want = oracle_index.search("spark query plan")
+    assert got == want
+
+
+def test_filtered_search(ix, transcripts):
+    pred = (F.col("role") == "assistant") & (F.col("tool") == "search")
+    got = _pairs(search_index(ix, ["spark", "query"], doc_predicate=pred))
+    want = _pairs(search_direct(transcripts, ["spark", "query"], doc_predicate=pred))
+    assert got == want
+
+
+def test_fuzzy_expansion(ix, oracle_index):
+    # planted typo 'serach' (corpus.py): expansions must match the oracle's
+    # vocabulary-wide levenshtein<=1 set
+    got = set(expand_fuzzy(ix, "serach"))
+    want = {v for v in oracle_index.vocab if __import__("searchengine_spark.oracle", fromlist=["x"]).levenshtein_leq1("serach", v)}
+    assert got == want and "serach" in got
+
+
+def test_expand_query_synonyms(ix):
+    terms = expand_query(ix, "кепка", synonyms=True)
+    assert terms == ["кепка", "шапка", "бейсболка", "панама"]
+
+
+def test_index_stats_match_corpus(ix, oracle_index):
+    assert ix.stats["n_docs"] == oracle_index.n_docs
+    assert ix.stats["avgdl"] == pytest.approx(oracle_index.avgdl, abs=1e-12)
+
+
+def test_docmap_stable_ordering(ix):
+    """Per-row invariant: doc_int rank order == (conv_id, turn_idx) order."""
+    rows = ix.docmap().orderBy("doc_int").limit(500).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
+    assert [r["doc_int"] for r in rows] == list(range(500))
+
+
+def test_build_resumable(spark, transcripts, tmp_path, monkeypatch):
+    """Kill the build mid-flight; rerun must reuse committed stages and
+    produce a queryable snapshot (north_rule resumability)."""
+    cat = IndexCatalog(str(tmp_path / "resume"))
+    real_commit = B.Ledger.commit
+
+    def exploding_commit(self, stage, **m):
+        if stage == "terms":
+            raise RuntimeError("injected failure after terms stage work")
+        return real_commit(self, stage, **m)
+
+    monkeypatch.setattr(B.Ledger, "commit", exploding_commit)
+    with pytest.raises(RuntimeError):
+        build_index(spark, transcripts, cat, n_buckets=4)
+    monkeypatch.setattr(B.Ledger, "commit", real_commit)
+
+    sid = cat.next_id()
+    ledger_before = B.Ledger(cat.staging_dir(sid)).entries()
+    assert ledger_before["tf"]["status"] == "done"  # early stages committed
+
+    snap = build_index(spark, transcripts, cat, n_buckets=4, snap_id=sid)
+    # resumed build must NOT have redone the tf stage (same commit ts)
+    assert snap.manifest["ledger"]["tf"]["ts"] == ledger_before["tf"]["ts"]
+    ixr = open_index(spark, cat)
+    got = _pairs(search_index(ixr, ["spark"]))
+    want = _pairs(search_direct(transcripts, ["spark"]))
+    assert got == want
