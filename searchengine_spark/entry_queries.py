@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from . import semantics as S
 from .corpus import ensure_transcripts, sf_from_dir
 from .functions.text import doc_id_col
+from .ops import ann as OA
+from .ops import dedup as OD
+from .ops import multimodal as OM
+from .ops import textstats as OT
 from .query.bm25 import corpus_stats, search_direct, term_frequencies, tokenized
 
 ORACLE_SF = 0.01  # the driver's correctness tier (TESTDATA.md)
@@ -243,6 +247,295 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# transcripts: index-backed BM25 (SURVEY §2.1 S1/S7/S8 + §2.4/§2.5 over the
+# materialized postings snapshot; must be rank-identical to the direct path)
+# --------------------------------------------------------------------------
+
+def ensure_index(spark, sf_dir: str):
+    """Build (once) and open the postings index for a scale factor."""
+    from .index.build import build_index
+    from .index.catalog import IndexCatalog
+    from .index.engine import open_index
+
+    sf = sf_from_dir(sf_dir)
+    cat = IndexCatalog(f"/root/repo/data/index/sf{sf:g}")
+    if cat.current() is None:
+        build_index(spark, load_transcripts(spark, sf_dir), cat)
+    return open_index(spark, cat)
+
+
+def q_bm25_indexed_single(spark, sf_dir):
+    from .index.engine import search_index
+
+    return search_index(ensure_index(spark, sf_dir), Q_SINGLE)
+
+
+def q_bm25_indexed_multi(spark, sf_dir):
+    from .index.engine import search_index
+
+    return search_index(ensure_index(spark, sf_dir), Q_MULTI)
+
+
+# --------------------------------------------------------------------------
+# documents: dedup family (exact / MinHash+LSH / n-gram Jaccard / SimHash)
+# --------------------------------------------------------------------------
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_docs_minhash_lsh(spark, sf_dir):
+    return OD.minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    return OD.ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+def q_docs_simhash(spark, sf_dir):
+    return OD.simhash_signatures(_documents(spark, sf_dir))
+
+
+def q_docs_simhash_neardup(spark, sf_dir):
+    return OD.simhash_neardup_pairs(_documents(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis (lang-id / quality / fingerprint) + multimodal
+# --------------------------------------------------------------------------
+
+def q_docs_langid(spark, sf_dir):
+    return OT.langid(_documents(spark, sf_dir))
+
+
+def q_docs_quality(spark, sf_dir):
+    return OT.quality(_documents(spark, sf_dir))
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    return OT.fingerprints(_documents(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    return OM.extract_features(OM.with_binary_payload(_documents(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# embeddings: ANN (LSH-bucketed) + embedding near-dup pairs
+# --------------------------------------------------------------------------
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return OA.lsh_topk(_embeddings(spark, sf_dir), query_vec_id=0)
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    return OA.cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.45)
+
+
+# --------------------------------------------------------------------------
+# oracle SQL generators for the ops family
+# --------------------------------------------------------------------------
+
+_DOCS_TOKS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS t FROM documents
+)"""
+
+_SHINGLES = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(t)-2),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ss
+  FROM toks
+)"""
+
+
+def _sql_minhash_lsh(threshold: float = 0.8, k: int = OD.MINHASH_K, band: int = OD.MINHASH_BAND) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(ss, s -> substr(md5('{i}:' || s), 1, 16)))" for i in range(k)
+    )
+    bands = ", ".join(
+        "'" + str(b) + "|' || sig[" + str(b * band + 1) + "] || '|' || sig[" + str(b * band + 2) + "]"
+        for b in range(k // band)
+    )
+    return f"""{_DOCS_TOKS},
+{_SHINGLES},
+sig AS (SELECT doc_id, ss, list_value({mins}) AS sig FROM sh WHERE len(ss) > 0),
+bands AS (SELECT doc_id, ss, unnest(list_value({bands})) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) AS inter,
+         CAST(len(sa.ss) + len(sb.ss) AS DOUBLE) AS tot
+  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a JOIN sig sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, round(inter / (tot - inter), {S.SCORE_DECIMALS}) AS jaccard
+FROM j WHERE inter / (tot - inter) >= {threshold} ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_ngram_jaccard(threshold: float = 0.8, max_df: int = 50) -> str:
+    return f"""{_DOCS_TOKS},
+{_SHINGLES},
+ex0 AS (SELECT doc_id, len(ss) AS n, unnest(ss) AS s FROM sh WHERE len(ss) > 0),
+rare AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {max_df}),
+ex AS (SELECT ex0.* FROM ex0 JOIN rare USING (s)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS DOUBLE) AS inter,
+         CAST(any_value(a.n) + any_value(b.n) AS DOUBLE) AS tot
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(inter / (tot - inter), {S.SCORE_DECIMALS}) AS jaccard
+FROM pairs WHERE inter / (tot - inter) >= {threshold} ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_simhash_core(bits: int = OD.SIMHASH_BITS) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h & (1::BIGINT << {b})) <> 0 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END" for b in range(bits)
+    )
+    return f"""{_DOCS_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 12))::UBIGINT AS BIGINT) AS h FROM ex),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)"""
+
+
+def _sql_simhash() -> str:
+    return _sql_simhash_core() + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id\n"
+
+
+def _sql_simhash_neardup(max_hamming: int = 3, bits: int = OD.SIMHASH_BITS) -> str:
+    n_chunks = max_hamming + 1
+    w = bits // n_chunks
+    chunks = ", ".join(
+        f"'{c}:' || CAST((simhash >> {c * w}) & {(1 << w) - 1} AS VARCHAR)" for c in range(n_chunks)
+    )
+    return f"""{_sql_simhash_core(bits)},
+chunks AS (SELECT doc_id, simhash, unnest(list_value({chunks})) AS chunk_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming} ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_langid() -> str:
+    langs = sorted(list(OT.LANG_STOPWORDS) + ["ru", "zh"])
+    score_exprs = {
+        "ru": "CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS DOUBLE)"
+        " / CAST(greatest(length(text), 1) AS DOUBLE)",
+        "zh": "CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)"
+        " / CAST(greatest(length(text), 1) AS DOUBLE)",
+    }
+    for lg, words in OT.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs[lg] = (
+            f"CAST(len(list_filter(t, x -> x IN ({lst}))) AS DOUBLE)"
+            " / CAST(greatest(len(t), 1) AS DOUBLE)"
+        )
+    cols = ", ".join(f"{score_exprs[lg]} AS s_{lg}" for lg in langs)
+    mx = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = f"CASE WHEN {mx} < {OT.MIN_LANG_RATIO} THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""{_DOCS_TOKS},
+sc AS (SELECT doc_id, text, {cols} FROM toks JOIN documents USING (doc_id))
+SELECT doc_id, {case} AS pred_lang, round({mx}, {S.SCORE_DECIMALS}) AS lang_score
+FROM sc ORDER BY doc_id
+"""
+
+
+def _sql_quality() -> str:
+    return f"""{_DOCS_TOKS},
+d AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+         len(list_filter(t, x -> x IN ({_stop_sql()}))) AS n_stop,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sum_len
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       round(n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE), {S.SCORE_DECIMALS}) AS uniq_ratio,
+       round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), {S.SCORE_DECIMALS}) AS stop_ratio,
+       round(sum_len / CAST(greatest(n_tokens, 1) AS DOUBLE), {S.SCORE_DECIMALS}) AS mean_tok_len,
+       round(least(n_tokens / 20.0, 1.0)
+             * (n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE))
+             * (1.0 - abs(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) - 0.4)),
+             {S.SCORE_DECIMALS}) AS quality_score
+FROM d ORDER BY doc_id
+"""
+
+
+def _sql_fingerprint(k: int = OT.FINGERPRINT_K) -> str:
+    return f"""{_DOCS_TOKS},
+{_SHINGLES}
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(ss, s -> substr(md5(s), 1, 16)))[1:{k}], '|') AS fingerprint
+FROM sh ORDER BY doc_id
+"""
+
+
+def _sql_multimodal() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       substr(md5(text), 1, 8) AS digest8,
+       octet_length(encode(text)) % 64 + 1 AS thumb_w,
+       (octet_length(encode(text)) // 64) % 64 + 1 AS thumb_h
+FROM documents ORDER BY doc_id
+"""
+
+
+def _sql_bucket_expr(bits: int = OA.LSH_BITS) -> str:
+    return " + ".join(f"CASE WHEN emb[{d + 1}] > 0 THEN {1 << d} ELSE 0 END" for d in range(bits))
+
+
+def _sql_ann_lsh_topk(qid: int = 0, k: int = 10) -> str:
+    cos = (
+        "list_dot_product(emb, qemb)"
+        " / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, ({_sql_bucket_expr()}) AS bucket FROM e),
+q AS (SELECT emb AS qemb, bucket AS qbucket FROM b WHERE vec_id = {qid})
+SELECT vec_id, round({cos}, {S.SCORE_DECIMALS}) AS cos_sim
+FROM b, q WHERE bucket = qbucket AND vec_id <> {qid}
+ORDER BY {cos} DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _sql_emb_neardup(threshold: float = 0.45) -> str:
+    cos = (
+        "list_dot_product(a.emb, b.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, {S.SCORE_DECIMALS}) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -261,6 +554,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "bm25_indexed_single": q_bm25_indexed_single,
+        "bm25_indexed_multi": q_bm25_indexed_multi,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_neardup": q_docs_simhash_neardup,
+        "docs_langid": q_docs_langid,
+        "docs_quality": q_docs_quality,
+        "docs_fingerprint": q_docs_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
     }
 
 
@@ -328,4 +633,16 @@ ORDER BY list_dot_product(emb, qemb)
          vec_id ASC
 LIMIT 10
 """,
+        "bm25_indexed_single": _bm25_sql(path, lit(Q_SINGLE)),
+        "bm25_indexed_multi": _bm25_sql(path, lit(Q_MULTI)),
+        "docs_minhash_lsh": _sql_minhash_lsh(),
+        "docs_ngram_jaccard": _sql_ngram_jaccard(),
+        "docs_simhash": _sql_simhash(),
+        "docs_simhash_neardup": _sql_simhash_neardup(),
+        "docs_langid": _sql_langid(),
+        "docs_quality": _sql_quality(),
+        "docs_fingerprint": _sql_fingerprint(),
+        "multimodal_features": _sql_multimodal(),
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "emb_neardup_pairs": _sql_emb_neardup(),
     }

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- :func:`cosine_topk` — brute-force exact top-k (the correctness
+  baseline; O(n) per query, fine when the query side is broadcast).
+- :func:`lsh_topk` — sign-LSH bucketed ANN (the scale path): bucket id
+  = sign bits of the first ``LSH_BITS`` dimensions; only the query's
+  bucket is scanned (≈ n / 2^bits candidates). Deterministic, so the
+  DuckDB oracle implements the identical algorithm and matches exactly.
+- :func:`cosine_neardup_pairs` — embedding near-dup pairs ≥ threshold;
+  candidate generation via the same LSH buckets (scale), verification
+  exact.
+
+At 100 TB the embeddings table is bucketed by `lsh_bucket` on disk so a
+query prunes to one bucket's files; brute-force stays as the rerank
+step within candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+
+LSH_BITS = 6  # 64 buckets
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_bucket(emb: Column, bits: int = LSH_BITS) -> Column:
+    """Σ 2^d · (emb[d] > 0) over the first `bits` dims."""
+    out = None
+    for d in range(bits):
+        bit = F.when(F.element_at(emb, d + 1) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k vs one stored vector."""
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    qv = F.broadcast(e.where(F.col("vec_id") == query_vec_id).select(F.col("emb").alias("qemb")))
+    return (
+        e.crossJoin(qv)
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cosine(F.col("emb"), F.col("qemb")).alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"))
+    )
+
+
+def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10, bits: int = LSH_BITS) -> DataFrame:
+    """ANN top-k: scan only the query's sign-LSH bucket, exact rerank
+    inside it. (Pinned ANN semantics: recall loss vs brute force is
+    part of the algorithm, mirrored exactly by the oracle.)"""
+    e = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+    ).withColumn("bucket", lsh_bucket(F.col("emb"), bits))
+    qv = F.broadcast(
+        e.where(F.col("vec_id") == query_vec_id).select(
+            F.col("emb").alias("qemb"), F.col("bucket").alias("qbucket")
+        )
+    )
+    return (
+        e.join(qv, F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cosine(F.col("emb"), F.col("qemb")).alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"))
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame, *, threshold: float = 0.45, bits: int = 0
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) pairs with cosine ≥ threshold.
+
+    bits=0 → exact all-pairs (the small-scale/oracle mode); bits>0 →
+    LSH-bucketed candidates (same-bucket pairs only — the scale mode).
+    """
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    if bits:
+        e = e.withColumn("bucket", lsh_bucket(F.col("emb"), bits))
+        joined = e.alias("a").join(e.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+    else:
+        joined = e.alias("a").crossJoin(e.alias("b"))
+    return (
+        joined.where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.emb"), F.col("b.emb")).alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,237 @@
+"""Deduplication operators over the `documents` table.
+
+All hashing is md5-based so every operator has a bit-identical DuckDB
+oracle (cross-engine: Spark ``conv(substr(md5(x),1,12),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,12))::UBIGINT``). Each operator is pure
+DataFrame algebra — the scale path is the candidate-pair generation
+(LSH band buckets / shared-shingle joins), never an O(n²) cross join.
+
+Scale notes (100 TB): shingle/minhash computation is embarrassingly
+parallel map-side work; the only shuffles are the band-bucket groupBy
+(bounded: band keys are near-uniform md5 values) and the candidate-pair
+verification join. High-df shingles (boilerplate) are the skew risk in
+the shared-shingle join — `ngram_jaccard_pairs` drops shingles above a
+df cap, the standard "stop-shingle" mitigation, before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+
+MINHASH_K = 8          # minhash functions
+MINHASH_BAND = 2       # rows per band → 4 bands
+SHINGLE_W = 3          # tokens per shingle
+
+
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(S.TOKEN_PATTERN_JAVA), F.lit(0))
+
+
+def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct w-token shingles, space-joined; empty array when the doc
+    has fewer than w tokens (sequence() would count *down* otherwise)."""
+    t = tokens_col(text)
+    return F.when(F.size(t) < w, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - w),
+                lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(w)]),
+            )
+        )
+    )
+
+
+def _minhash(shingles: Column, i: int) -> Column:
+    """i-th minhash = lexicographic min of salted md5-hex prefixes (hex
+    string order == numeric order at fixed width)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: one keeper per distinct text."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<string>, shingles) — k md5-minhashes per doc."""
+    sh = shingles_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sh.alias("shingles"),
+        F.array(*[_minhash(sh, i) for i in range(k)]).alias("sig"),
+    ).where(F.size("shingles") > 0)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    k: int = MINHASH_K,
+    band: int = MINHASH_BAND,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures → bucket join →
+    exact-jaccard verification ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Deterministic:
+    the DuckDB oracle implements the identical bands, so even LSH
+    recall misses match exactly.
+    """
+    sigs = minhash_signatures(docs, k)
+    n_bands = k // band
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(b)), *[F.col("sig")[b * band + j] for j in range(band)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard_raw", inter / union)
+        .where(F.col("jaccard_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard_raw", S.SCORE_DECIMALS).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, threshold: float = 0.8, max_shingle_df: int = 50
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via the shared-shingle join.
+
+    Candidate pairs = docs sharing ≥1 *rare* shingle (df ≤ max_shingle_df
+    — drops boilerplate hot shingles that would blow up the join; at
+    threshold ≥ 0.8 a near-dup pair of >max_shingle_df-doc boilerplate
+    only would be all-common-shingles, which the df cap can miss — the
+    cap is the standard recall/skew trade and is part of the pinned
+    semantics, mirrored in the oracle).
+    """
+    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).where(F.col("df_s") <= max_shingle_df)
+    ex = ex.join(rare.select("s"), "s")
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        pairs.withColumn("jaccard_raw", jac)
+        .where(F.col("jaccard_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", S.SCORE_DECIMALS).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 48  # fits a BIGINT with headroom in both engines
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over md5 token hashes.
+
+    bit b of simhash = 1 iff Σ_tokens (2·bit_b(h(tok)) − 1) > 0, where
+    h = first 48 bits of md5 (token multiplicity = tf weighting).
+    """
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    h = F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint")
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, *, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature into (max_hamming+1)
+    12-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
+    bucket-join, verify with popcount(xor) ≤ max_hamming."""
+    sigs = simhash_signatures(docs, bits)
+    n_chunks = max_hamming + 1
+    w = bits // n_chunks
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftright("simhash", c * w).bitwiseAND(F.lit((1 << w) - 1)).cast("string"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), "chunk_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

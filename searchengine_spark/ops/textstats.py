@@ -1,0 +1,107 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting — all JVM-side column expressions (no Python on
+the data path), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from .dedup import shingles_col, tokens_col
+
+# tiny per-language function-word sets for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "des", "un", "une", "du", "est"),
+}
+CYRILLIC_RE = r"[Ѐ-ӿ]"
+CJK_RE = r"[一-鿿]"
+MIN_LANG_RATIO = 0.05  # below this on every signal → 'und'
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Per-language signal columns (pinned heuristic semantics)."""
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    toks = tokens_col(text)
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    out: dict[str, Column] = {
+        "ru": F.length(F.regexp_replace(text, r"[^Ѐ-ӿ]", "")) / n_chars,
+        "zh": F.length(F.regexp_replace(text, r"[^一-鿿]", "")) / n_chars,
+    }
+    for lang, words in LANG_STOPWORDS.items():
+        lit = F.lit(list(words))
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lit, t))) / n_toks
+    return out
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax language signal; ties
+    break toward the alphabetically smallest language code; 'und' when
+    every signal is below MIN_LANG_RATIO. Expressed as greatest() + a
+    CASE chain so the DuckDB oracle is a literal transliteration."""
+    scores = langid_scores(F.col("text"))
+    langs = sorted(scores)  # CASE order == alphabetical tie-break
+    mx = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.when(mx < MIN_LANG_RATIO, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(scores[lg] == mx, F.lit(lg))
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(mx, S.SCORE_DECIMALS).alias("lang_score"),
+    )
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, uniq_ratio, stop_ratio, mean_tok_len, quality_score).
+
+    quality_score ∈ [0,1]: product of clamped sub-signals — length in a
+    sane band, vocabulary diversity, presence (not excess) of function
+    words. Pinned formula (the oracle mirrors it exactly):
+        len_ok   = least(n_tokens/20, 1)
+        diversity= uniq_tokens/n_tokens
+        stop_ok  = 1 - |stop_ratio - 0.4|
+        score    = round(len_ok * diversity * stop_ok, 4)
+    """
+    toks = tokens_col(F.col("text"))
+    stop = F.lit(list(S.STOPWORDS))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("sum_len"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    len_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    diversity = F.col("n_uniq") / nt
+    stop_ratio = F.col("n_stop") / nt
+    stop_ok = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(diversity, S.SCORE_DECIMALS).alias("uniq_ratio"),
+        F.round(stop_ratio, S.SCORE_DECIMALS).alias("stop_ratio"),
+        F.round(F.col("sum_len") / nt, S.SCORE_DECIMALS).alias("mean_tok_len"),
+        F.round(len_ok * diversity * stop_ok, S.SCORE_DECIMALS).alias("quality_score"),
+    )
+
+
+FINGERPRINT_K = 4
+
+
+def fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
+    """(doc_id, fingerprint): bottom-k sketch of md5 shingle hashes,
+    '|'-joined (stringified so cross-engine value-hash comparison is
+    representation-stable). Equal fingerprints ⇒ near-identical shingle
+    sets — a cheap first-pass dedup key."""
+    sh = shingles_col(F.col("text"))
+    hashes = F.array_sort(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(hashes, 1, k)).alias("fingerprint"),
+    )

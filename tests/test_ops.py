@@ -1,0 +1,150 @@
+"""Training-data ops: dedup family, text analysis, ANN, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.ops import ann as OA
+from searchengine_spark.ops import dedup as OD
+from searchengine_spark.ops import multimodal as OM
+from searchengine_spark.ops import textstats as OT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "spark shuffle join partition broadcast skew salt merge batch stream"
+    near = base.replace("salt", "salting")  # one token differs
+    rows = [
+        (1, base + " alpha beta gamma delta epsilon zeta"),
+        (2, base + " alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, near + " alpha beta gamma delta epsilon zeta"),  # near-dup of 1
+        (4, "совершенно другой русский текст про поиск и индекс"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+        (6, "xy"),  # fewer than 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(spark):
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id LONG, text STRING"
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in OD.exact_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in OD.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(0.5 <= j <= 1.0 for j in pairs.values())
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in OD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    # doc 6 (no shingles) never appears
+    assert not any(6 in p for p in pairs)
+
+
+def test_simhash_identical_and_neardup(spark, docs):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "qqq www eee rrr")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in OD.simhash_signatures(d).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert 0 <= sigs[1] < (1 << OD.SIMHASH_BITS)
+    pairs = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in OD.simhash_neardup_pairs(d).collect()]
+    assert (1, 2, 0) in pairs
+
+
+def test_langid(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is a cat"),
+            (2, "совершенно русский текст про поиск"),
+            (3, "der hund ist von den alten und die katze"),
+            (4, "zzz qqq vvv"),  # no signal
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in OT.langid(d).collect()}
+    assert out == {1: "en", 2: "ru", 3: "de", 4: "und"}
+
+
+def test_quality_formula(spark):
+    d = spark.createDataFrame([(1, "the spark engine is a fast engine")], "doc_id LONG, text STRING")
+    r = OT.quality(d).collect()[0]
+    # 7 tokens, 6 uniq, 4 stopwords (the,is,a + ... the/is/a → 'the','is','a')
+    assert r["n_tokens"] == 7
+    nt = 7.0
+    len_ok = min(7 / 20.0, 1.0)
+    diversity = 6 / nt
+    stop_ok = 1.0 - abs(3 / nt - 0.4)
+    assert r["quality_score"] == pytest.approx(round(len_ok * diversity * stop_ok, 4))
+
+
+def test_fingerprint_stable_and_discriminative(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in OT.fingerprints(docs).collect()}
+    assert fp[6] == ""  # no shingles
+    assert fp[1] != fp[4]
+    assert len(fp[1].split("|")) == OT.FINGERPRINT_K
+    # recompute → identical (deterministic)
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in OT.fingerprints(docs).collect()}
+    assert fp == fp2
+
+
+def _emb_df(spark):
+    rows = [
+        (0, [1.0, 0.5, -0.2, 0.1]),
+        (1, [0.9, 0.55, -0.15, 0.12]),   # close to 0, same sign pattern
+        (2, [-1.0, -0.5, 0.2, -0.1]),    # opposite bucket
+        (3, [1.0, 0.5, -0.25, 0.05]),    # close to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_lsh_bucket_and_topk(spark):
+    e = _emb_df(spark)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in e.select("vec_id", OA.lsh_bucket(OA._as_double("embedding"), 4).alias("b")).collect()
+    }
+    assert buckets[0] == buckets[1] == buckets[3] != buckets[2]
+    top = OA.lsh_topk(e, 0, k=2, bits=4).collect()
+    assert [r["vec_id"] for r in top] == [3, 1]  # cos(0,3)≈0.998 > cos(0,1)≈0.996
+    assert top[0]["cos_sim"] > 0.99
+
+
+def test_cosine_topk_vs_lsh_recall(spark):
+    e = _emb_df(spark)
+    brute = [r["vec_id"] for r in OA.cosine_topk(e, 0, k=3).collect()]
+    assert brute[:2] == [3, 1] and 2 in brute  # brute force sees other buckets too
+
+
+def test_neardup_pairs(spark):
+    pairs = [(r["vec_a"], r["vec_b"]) for r in OA.cosine_neardup_pairs(_emb_df(spark), threshold=0.99).collect()]
+    assert (0, 1) in pairs and (0, 3) in pairs and (0, 2) not in pairs
+    # LSH mode finds the same in-bucket pairs
+    lsh_pairs = [(r["vec_a"], r["vec_b"]) for r in OA.cosine_neardup_pairs(_emb_df(spark), threshold=0.99, bits=4).collect()]
+    assert set(lsh_pairs) == set(pairs)
+
+
+def test_multimodal_plumbing(spark):
+    d = spark.createDataFrame([(1, "hello world", 11), (2, "xß", 3)], "doc_id LONG, text STRING, n_chars LONG")
+    mm = OM.with_binary_payload(d)
+    assert dict(mm.dtypes)["payload"] == "binary"
+    feats = {r["doc_id"]: r for r in OM.extract_features(mm).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert feats[2]["n_bytes"] == 3  # ß is 2 bytes in UTF-8
+    import hashlib
+
+    assert feats[1]["digest8"] == hashlib.md5(b"hello world").hexdigest()[:8]
+    assert feats[1]["thumb_w"] == 11 % 64 + 1 and feats[1]["thumb_h"] == 1
+
+
+def test_decode_stub():
+    with pytest.raises(NotImplementedError):
+        OM.decode_image(b"\xff\xd8\xff")
