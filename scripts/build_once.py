@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Run one index build at a given parallelism; print ONE JSON line.
+
+Usage: python scripts/build_once.py <cpus> <sf> [index_root]
+
+Spawned as a subprocess per parallelism level by bench.py's scaling
+section (each level gets its own JVM — the local[N] stand-in for an
+N-executor cluster per the driver's two-cluster-size protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    sf = float(sys.argv[2])
+    root = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/seng_scaling/sf{sf:g}_c{cpus}"
+
+    from searchengine_spark.corpus import ensure_transcripts
+    from searchengine_spark.index.build import build_index
+    from searchengine_spark.index.catalog import IndexCatalog
+    from searchengine_spark.session import get_spark
+
+    path = ensure_transcripts(sf)
+    shutil.rmtree(root, ignore_errors=True)
+    spark = get_spark(f"seng-build-c{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    t = spark.read.parquet(path)
+    # steady-state measurement: warm JVM codegen/reader paths once (the
+    # fixed one-time JIT cost would otherwise land on both cluster sizes)
+    t.limit(10_000).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    snap = build_index(spark, t, IndexCatalog(root))
+    dt = time.perf_counter() - t0
+    n = snap.stats["n_docs"]
+    print(json.dumps({
+        "cpus": cpus,
+        "sf": sf,
+        "n_docs": n,
+        "build_seconds": round(dt, 3),
+        "turns_per_sec": round(n / dt, 1),
+    }))
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

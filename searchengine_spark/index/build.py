@@ -4,28 +4,31 @@ north_rule; reference analogue: full rebuild, ``internal/index/index.go:283-382`
 Pipeline (all stages declarative DataFrame ops; the only Python on the
 hot path is the Arrow ``applyInPandas`` segment encoder):
 
-1. **docmap** — tokenize (JVM regexp) + assign a dense, deterministic
-   ``doc_int`` aligned with the stable ``(conv_id, turn_idx)`` order:
-   range-repartition by ``doc_id``, sort within partitions, stamp
-   ``(_pid, _rank)`` with an order-preserving ``mapInPandas`` counter,
-   commit, then ``doc_int = offset[_pid] + _rank`` with offsets from
-   exact per-partition counts over the *committed* data (the scalable
-   zipWithIndex pattern — no global window, and immune to
+1. **docmap** — range-repartition by ``doc_id``, sort within
+   partitions, tokenize (JVM regexp, above the exchange so the range
+   sampler never runs it), stamp ``(_pid, _rank)`` JVM-side from
+   ``monotonically_increasing_id()``'s per-partition counter, commit,
+   then ``doc_int = offset[_pid] + _rank`` with offsets read from the
+   committed files' parquet footers (the scalable zipWithIndex pattern —
+   no global window, no extra job, and immune to
    ``repartitionByRange``'s sampled-boundary nondeterminism because the
    ranged output is materialized exactly once).
-2. **stats** — N, Σdl, avgdl (one small agg → stats.json).
+2. **stats** — N, Σdl, avgdl collected by ``Observation`` during the
+   docmap write (no extra pass) → stats.json.
 3. **tf** — explode tokens → ``groupBy(doc_int, dl, term).count()``;
-   materialized to staging parquet bucketed by ``pmod(xxhash64(term), B)``
+   materialized to staging parquet clustered by ``pmod(xxhash64(term), B)``
    (this is the checkpointed intermediate that makes the build resumable).
-4. **terms** — per-term df/cf aggregate (partial+final hash agg).
-5. **postings, per bucket** — ``groupBy(term, seg)`` where
+4. **postings, per bucket** — ``groupBy(bucket, seg)`` where
    ``seg = doc_int >> 16`` (codec.SEG_SPAN): heavy-hitter terms split
    into many doc-aligned segment rows, which bounds per-reducer skew the
    same way key-salting does but keeps docID order — phase 2 of the
    north rule's two-phase merge is then a *metadata* concat (segments
-   are disjoint, ordered runs) instead of a re-sort. Each group is
-   delta-gap+varint encoded by a vectorized pandas encoder with
-   block-max skip metadata.
+   are disjoint, ordered runs) instead of a re-sort. Each (bucket, seg)
+   group is delta-gap+varint encoded in ONE vectorized numpy pass and
+   per-term blobs are byte-slices of the group stream, with block-max
+   skip metadata per term.
+5. **terms** — per-term df/cf from postings segment metadata (reads the
+   tiny segment table, not the tf table).
 
 Each stage commits a ledger entry (status, rows, seconds, throughput,
 skew ratio); re-running `build_index` with the same staging snapshot
@@ -37,8 +40,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,9 +47,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import semantics as S
-from ..query.bm25 import tokenized
 from .catalog import IndexCatalog, Snapshot
-from .codec import BLOCK, SEG_SPAN, block_metadata, encode_postings
+from .codec import BLOCK, SEG_SPAN, block_metadata
 
 DEFAULT_BUCKETS = 16
 
@@ -64,6 +64,7 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("block_last_doc", T.ArrayType(T.LongType())),
         T.StructField("block_max_tfnorm", T.ArrayType(T.DoubleType())),
         T.StructField("seg_max_tfnorm", T.DoubleType()),
+        T.StructField("sum_tf", T.LongType()),
     ]
 )
 
@@ -102,42 +103,62 @@ class Ledger:
 # stage 1: deterministic dense doc numbering (scalable zipWithIndex)
 # --------------------------------------------------------------------------
 
-def _ranked_within_partitions(tok: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Range-partition by doc_id, sort within partitions, and stamp each
-    row with ``(_pid, _rank)`` — its partition and 0-based rank inside it.
+def _ranked_within_partitions(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-partition by doc_id, sort within partitions, tokenize, and
+    stamp each row with ``(_pid, _rank)`` — its partition and 0-based
+    rank inside it.
 
-    The rank counter runs inside ``mapInPandas`` (order-preserving, no
-    extra shuffle, no window exchange). ``repartitionByRange`` samples
-    its boundaries, so this DataFrame is only *computed once and
-    written*; the dense global ``doc_int`` is derived afterwards from
-    the **committed** parquet (exact per-partition counts → offsets),
-    never from a second, possibly re-planned job.
+    The rank counter is ``monotonically_increasing_id()``: its low 33
+    bits are a dense 0-based per-partition record number, computed
+    JVM-side inside the same whole-stage-codegen span as the sort
+    output — no window exchange, no Python round-trip of the corpus.
+    ``repartitionByRange`` samples its boundaries, so this DataFrame is
+    only *computed once and written*; the dense global ``doc_int`` is
+    derived afterwards from the **committed** parquet (exact
+    per-partition counts → offsets), never from a second, possibly
+    re-planned job.
+
+    The tokenizer regexp runs *above* the exchange, so the boundary
+    sampling pass evaluates only the cheap base projection and the
+    expensive analysis happens exactly once, in the partition-parallel
+    stage that also sorts and writes.
     """
-    p = num_partitions or int(tok.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    part = (
-        tok.repartitionByRange(p, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("_pid", F.spark_partition_id())
+    from ..functions.text import doc_id_col, tokens_no_stop
+
+    p = num_partitions or int(transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = transcripts.select(
+        doc_id_col().alias("doc_id"), "conv_id", "turn_idx", "role", "tool", "ts", "text"
     )
-    schema = T.StructType(list(part.schema.fields) + [T.StructField("_rank", T.LongType())])
+    return (
+        base.repartitionByRange(p, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("tokens", tokens_no_stop("text"))
+        .withColumn("dl", F.size("tokens"))
+        .drop("text")
+        .withColumn("_pid", F.spark_partition_id())
+        # low 33 bits of monotonically_increasing_id = dense 0-based
+        # record number within the partition (Spark contract)
+        .withColumn(
+            "_rank", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        )
+    )
 
-    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        i = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_rank"] = range(i, i + len(pdf))
-            i += len(pdf)
-            yield pdf
 
-    return part.mapInPandas(add_rank, schema)
+def partition_offsets(raw_dir: str) -> dict[int, int]:
+    """Exact cumulative offsets for the committed raw data, from parquet
+    footer metadata (driver-side, no Spark job): each write task emits
+    exactly one ``part-<pid>-*`` file, so file row-counts ARE the
+    per-partition counts. At cluster scale this is a listing + footer
+    read per partition — O(partitions), not O(rows)."""
+    import re
 
+    import pyarrow.parquet as pq
 
-def partition_offsets(raw: DataFrame) -> dict[int, int]:
-    """Exact cumulative offsets from the committed (_pid, _rank) data."""
-    counts = {
-        int(r["_pid"]): int(r["cnt"])
-        for r in raw.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    counts: dict[int, int] = {}
+    for name in os.listdir(raw_dir):
+        m = re.match(r"part-(\d+)-", name)
+        if m:
+            counts[int(m.group(1))] = pq.ParquetFile(os.path.join(raw_dir, name)).metadata.num_rows
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -165,29 +186,68 @@ def with_doc_int(raw: DataFrame, offsets: dict[int, int]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _make_segment_encoder(avgdl: float):
+    """Encoder for one ``(bucket, seg)`` group holding ALL of that
+    bucket's terms for one doc-aligned segment. One LEB128 stream is
+    encoded for the whole group and per-term blobs are byte-slices of
+    it (see :func:`..codec.encode_varints_with_offsets`) — identical
+    bytes to per-term :func:`..codec.encode_postings`, but the pandas /
+    numpy fixed costs amortize over thousands of terms per group
+    instead of one DataFrame per posting list."""
+    from .codec import encode_varints_with_offsets
+
     k1, b = S.K1, S.B
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        order = np.argsort(pdf["doc_int"].to_numpy(), kind="stable")
-        docs = pdf["doc_int"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["dl"].to_numpy()[order]
+        terms, tcodes = np.unique(pdf["term"].to_numpy(), return_inverse=True)
+        docs = pdf["doc_int"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        order = np.lexsort((docs, tcodes))
+        tcodes, docs, tfs, dls = tcodes[order], docs[order], tfs[order], dls[order]
+
+        n = len(docs)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(tcodes)) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+        gaps[starts] = docs[starts]  # first doc of each term is absolute
+        if len(gaps) > len(starts):
+            inner = np.ones(n, dtype=bool)
+            inner[starts] = False
+            if inner.any() and gaps[inner].min() <= 0:
+                raise ValueError("doc_ints must be strictly ascending per term")
+
         tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        blast, bmax = block_metadata(docs, tfn, BLOCK)
+        inter = np.empty(3 * n, dtype=np.uint64)
+        inter[0::3] = gaps.astype(np.uint64)
+        inter[1::3] = tfs.astype(np.uint64)
+        inter[2::3] = dls.astype(np.uint64)
+        buf, offs = encode_varints_with_offsets(inter)
+        raw = buf.tobytes()
+
+        blasts, bmaxs = [], []
+        for s, e in zip(starts, ends):
+            bl, bm = block_metadata(docs[s:e], tfn[s:e], BLOCK)
+            blasts.append(bl.tolist())
+            bmaxs.append(bm.tolist())
+
         return pd.DataFrame(
             {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "term": [pdf["term"].iloc[0]],
-                "seg": [int(pdf["seg"].iloc[0])],
-                "n": [len(docs)],
-                "first_doc": [int(docs[0])],
-                "last_doc": [int(docs[-1])],
-                "postings": [encode_postings(docs, tfs, dls)],
-                "block_last_doc": [blast.tolist()],
-                "block_max_tfnorm": [bmax.tolist()],
-                "seg_max_tfnorm": [float(tfn.max())],
+                "bucket": np.full(len(terms), int(pdf["bucket"].iloc[0]), dtype=np.int32),
+                "term": terms,
+                "seg": np.full(len(terms), int(pdf["seg"].iloc[0]), dtype=np.int64),
+                "n": ends - starts,
+                "first_doc": docs[starts],
+                "last_doc": docs[ends - 1],
+                "postings": [raw[offs[3 * s] : offs[3 * e]] for s, e in zip(starts, ends)],
+                "block_last_doc": blasts,
+                "block_max_tfnorm": bmaxs,
+                "seg_max_tfnorm": np.maximum.reduceat(tfn, starts),
+                "sum_tf": np.add.reduceat(tfs, starts),
             }
         )
 
@@ -231,12 +291,19 @@ def build_index(
     offsets_path = os.path.join(stage_dir, "offsets.json")
 
     # ---- stage: docmap_raw (tokenize + partition-rank, computed ONCE) ------
+    observed: dict | None = None
     if not ledger.done("docmap_raw"):
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
-        ranked = _ranked_within_partitions(tokenized(transcripts))
+        obs = Observation("docmap_raw_stats")
+        ranked = _ranked_within_partitions(transcripts).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        )
         ranked.select(
             "_pid", "_rank", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "tokens"
         ).write.mode("overwrite").parquet(raw_dir)
+        observed = obs.get  # collected during the write — no extra pass
         dt = time.perf_counter() - t0
         ledger.commit("docmap_raw", seconds=round(dt, 3))
 
@@ -245,12 +312,14 @@ def build_index(
     # ---- stage: offsets + stats (exact, from the committed data) -----------
     if not ledger.done("stats"):
         t0 = time.perf_counter()
-        offsets = partition_offsets(raw)
-        row = raw.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+        offsets = partition_offsets(raw_dir)  # parquet footers, no Spark job
+        if observed is None:  # resume path: recompute from committed parquet
+            row = raw.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+            observed = {"n": row["n"], "sdl": row["sdl"]}
         stats = {
-            "n_docs": int(row["n"]),
-            "sum_dl": int(row["sdl"]),
-            "avgdl": float(row["sdl"]) / float(row["n"]),
+            "n_docs": int(observed["n"]),
+            "sum_dl": int(observed["sdl"]),
+            "avgdl": float(observed["sdl"]) / float(observed["n"]),
         }
         with open(offsets_path, "w") as f:
             json.dump({str(k): v for k, v in offsets.items()}, f)
@@ -276,38 +345,28 @@ def build_index(
 
     # ---- stage: tf (the resumability checkpoint) ---------------------------
     if not ledger.done("tf"):
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
+        obs = Observation("tf_rows")
         tf = (
             numbered.select("doc_int", "dl", F.explode("tokens").alias("term"))
             .groupBy("doc_int", "dl", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
             .withColumn("seg", (F.col("doc_int") / F.lit(SEG_SPAN)).cast("long"))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
-        tf.write.mode("overwrite").partitionBy("bucket").parquet(tf_dir)
-        n_rows = spark.read.parquet(tf_dir).count()
+        # plain (non-dynamic-partition) write: one file per task, ~16×
+        # fewer files than partitionBy; clustering by bucket inside each
+        # task keeps parquet row-group min/max tight so bucket_jobs>1
+        # resume still prunes bucket scans
+        tf.sortWithinPartitions("bucket").write.mode("overwrite").parquet(tf_dir)
+        n_rows = int(obs.get["rows"])
         dt = time.perf_counter() - t0
         ledger.commit("tf", rows=n_rows, seconds=round(dt, 3),
                       postings_per_sec=round(n_rows / dt, 1))
     tf_staged = spark.read.parquet(tf_dir)
-
-    # ---- stage: term stats -------------------------------------------------
-    if not ledger.done("terms"):
-        t0 = time.perf_counter()
-        terms = tf_staged.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        terms.write.mode("overwrite").parquet(terms_dir)
-        n_terms = spark.read.parquet(terms_dir).count()
-        # skew diagnostics for the north rule's heavy-hitter handling
-        top = (
-            spark.read.parquet(terms_dir)
-            .orderBy(F.desc("df")).limit(1).collect()
-        )
-        max_df = int(top[0]["df"]) if top else 0
-        mean_df = stats["sum_dl"] / max(n_terms, 1)
-        ledger.commit("terms", rows=n_terms, seconds=round(time.perf_counter() - t0, 3),
-                      max_df=max_df, skew_ratio=round(max_df / max(mean_df, 1e-9), 2))
 
     # ---- stage: postings (per bucket group, doc-aligned segments) ----------
     encoder = _make_segment_encoder(stats["avgdl"])
@@ -318,17 +377,44 @@ def build_index(
         stage_name = f"postings-{gi}"
         if ledger.done(stage_name):
             continue
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
         part = tf_staged if bucket_jobs == 1 else tf_staged.where(F.col("bucket").isin(buckets))
-        segs = part.groupBy("bucket", "term", "seg").applyInPandas(encoder, SEGMENT_SCHEMA)
+        obs = Observation(f"postings_{gi}")
+        segs = part.groupBy("bucket", "seg").applyInPandas(encoder, SEGMENT_SCHEMA).observe(
+            obs, F.count(F.lit(1)).alias("segments"), F.sum("n").alias("postings")
+        )
         mode = "overwrite" if bucket_jobs == 1 else "append"
         segs.write.mode(mode).partitionBy("bucket").parquet(postings_dir)
         dt = time.perf_counter() - t0
-        written = spark.read.parquet(postings_dir).where(F.col("bucket").isin(buckets))
-        seg_rows, post_n = written.agg(F.count(F.lit(1)), F.sum("n")).collect()[0]
+        got = obs.get
+        seg_rows, post_n = got["segments"], got["postings"]
         ledger.commit(stage_name, segments=int(seg_rows), postings=int(post_n or 0),
                       seconds=round(dt, 3),
                       postings_per_sec=round((post_n or 0) / dt, 1))
+
+    # ---- stage: term stats (from postings segment metadata — the segment
+    # rows are ≪ the tf table, so this reads ~(term, n, sum_tf) columns of
+    # an already-small parquet instead of re-shuffling every posting) ------
+    if not ledger.done("terms"):
+        from pyspark.sql import Observation
+
+        t0 = time.perf_counter()
+        obs = Observation("terms_rows")
+        terms = (
+            spark.read.parquet(postings_dir)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .observe(obs, F.count(F.lit(1)).alias("rows"), F.max("df").alias("max_df"))
+        )
+        terms.write.mode("overwrite").parquet(terms_dir)
+        got = obs.get
+        n_terms, max_df = int(got["rows"]), int(got["max_df"] or 0)
+        # skew diagnostics for the north rule's heavy-hitter handling
+        mean_df = stats["sum_dl"] / max(n_terms, 1)
+        ledger.commit("terms", rows=n_terms, seconds=round(time.perf_counter() - t0, 3),
+                      max_df=max_df, skew_ratio=round(max_df / max(mean_df, 1e-9), 2))
 
     # ---- publish -----------------------------------------------------------
     elapsed = time.perf_counter() - t_start

@@ -34,12 +34,16 @@ BLOCK = 128
 SEG_SPAN = 1 << 16
 
 
-def encode_varints(vals: np.ndarray) -> np.ndarray:
-    """LEB128-encode a non-negative int64/uint64 array → uint8 buffer."""
+def encode_varints_with_offsets(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a non-negative int64/uint64 array → (uint8 buffer,
+    per-value byte offsets of length ``n+1``). Because LEB128 is a
+    per-value code, ``buf[offs[i]:offs[j]]`` is exactly the encoding of
+    ``vals[i:j]`` — segment-group encoders exploit this to encode one
+    big stream and slice per-term blobs for free."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(vals)
     if n == 0:
-        return np.empty(0, dtype=np.uint8)
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     lens = np.ones(n, dtype=np.int64)
     v = vals >> np.uint64(7)
     while v.any():
@@ -57,7 +61,12 @@ def encode_varints(vals: np.ndarray) -> np.ndarray:
         cont = (lens[mask] > i + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
         v >>= np.uint64(7)
-    return out
+    return out, offs
+
+
+def encode_varints(vals: np.ndarray) -> np.ndarray:
+    """LEB128-encode a non-negative int64/uint64 array → uint8 buffer."""
+    return encode_varints_with_offsets(vals)[0]
 
 
 def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
