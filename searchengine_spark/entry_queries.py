@@ -14,6 +14,7 @@ the same parquet via read_parquet('<abs path>').
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -274,6 +275,76 @@ def q_bm25_indexed_multi(spark, sf_dir):
     from .index.engine import search_index
 
     return search_index(ensure_index(spark, sf_dir), Q_MULTI)
+
+
+# --------------------------------------------------------------------------
+# transcripts: streaming ingest (SURVEY §2.1 S9-S11) — deterministic
+# upsert/delete stream applied via checkpointed Structured Streaming,
+# then compacted; the search result is exact over the final corpus, so
+# the oracle recomputes BM25 on the compacted docs parquet.
+# --------------------------------------------------------------------------
+
+STREAM_ROOT = "/root/repo/data/stream_demo"
+Q_STREAM = ["zebrastream", "spark"]
+
+
+def _stream_messages() -> list[dict]:
+    def msg(seq, conv_id, turn_idx, text, delete=False):
+        return {
+            "seq": seq,
+            "doc_id": f"{conv_id}:{turn_idx:04d}",
+            "delete": delete,
+            "doc": {
+                "conv_id": conv_id, "turn_idx": turn_idx, "role": "assistant",
+                "text": text, "tool": "search", "ts": "2025-03-01T00:00:00",
+            },
+        }
+
+    return [
+        msg(1, "zdemo", 0, "zebrastream arrival spark index build"),
+        msg(2, "zdemo", 1, "zebrastream zebrastream query plan"),
+        msg(3, "c0000000", 0, "rewritten opening turn zebrastream"),
+        msg(4, "c0000000", 1, "", delete=True),
+        msg(5, "zdemo", 2, "first version"),
+        msg(6, "zdemo", 2, "second version wins zebrastream spark"),
+    ]
+
+
+def stream_demo_root(sf: float) -> str:
+    return os.path.join(STREAM_ROOT, f"sf{sf:g}")
+
+
+def ensure_stream_demo(spark, sf_dir: str):
+    """Bootstrap + ingest + compact the demo stream once per sf (cached)."""
+    import json as _json
+    import shutil
+
+    sf = sf_from_dir(sf_dir)
+    root = stream_demo_root(sf)
+    marker = os.path.join(root, "_READY")
+    from .streaming import StreamingIndex
+
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        s = StreamingIndex(spark, root)
+        s.bootstrap(load_transcripts(spark, sf_dir))
+        src = os.path.join(root, "incoming")
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for m in _stream_messages():
+                f.write(_json.dumps(m) + "\n")
+        s.ingest_files(src)
+        s.compact()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return StreamingIndex(spark, root)
+
+
+def q_stream_upsert_search(spark, sf_dir):
+    from .index.engine import open_index, search_index
+
+    s = ensure_stream_demo(spark, sf_dir)
+    return search_index(open_index(spark, s.catalog), Q_STREAM)
 
 
 # --------------------------------------------------------------------------
@@ -556,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "bm25_indexed_single": q_bm25_indexed_single,
         "bm25_indexed_multi": q_bm25_indexed_multi,
+        "stream_upsert_search": q_stream_upsert_search,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_simhash": q_docs_simhash,
@@ -635,6 +707,12 @@ LIMIT 10
 """,
         "bm25_indexed_single": _bm25_sql(path, lit(Q_SINGLE)),
         "bm25_indexed_multi": _bm25_sql(path, lit(Q_MULTI)),
+        # the stream demo compacts to a plain parquet corpus; BM25 over it
+        # must equal the streamed+compacted index's answer exactly
+        "stream_upsert_search": _bm25_sql(
+            os.path.join(stream_demo_root(ORACLE_SF), "docs", "base", "*.parquet"),
+            lit(Q_STREAM),
+        ),
         "docs_minhash_lsh": _sql_minhash_lsh(),
         "docs_ngram_jaccard": _sql_ngram_jaccard(),
         "docs_simhash": _sql_simhash(),

@@ -1,0 +1,351 @@
+"""Structured-Streaming ingest: CDC upsert/delete stream → LSM index.
+
+Reference behavior being rebuilt (SURVEY §2.1 S9-S11, §2.10):
+
+- NATS / Kafka subscribers consume JSON messages
+  ``{doc_id, doc, delete}`` (reference ``pkg/model/model.go:3-7``) and
+  apply them to the live index as upsert (= delete + re-add, reference
+  ``internal/index/index.go:112-133``) or delete, in arrival order,
+  last-write-wins (``internal/subscriber/subscriber.go:78-95``).
+- Bleve absorbs those writes into in-memory scorch segments that are
+  merged down to disk later — an LSM tree over posting lists.
+
+Spark-native equivalent (merge-on-read, Iceberg-style):
+
+- the stream is ``spark.readStream`` (file source in tests — the same
+  deterministic JSON lines a Kafka topic would carry; swap
+  ``.format("kafka")`` in prod) with a **checkpoint dir**, so each
+  micro-batch is processed exactly once and ingest is resumable;
+- ``foreachBatch`` appends an immutable **delta**: the batch's upsert
+  rows (doc payload), a tombstone set (every touched doc_id — upsert
+  tombstones the previous version), and a mini posting index of the
+  new rows built with the SAME segment encoder as the base build;
+- ``current_docs()`` is a merge-on-read view (base ∖ tombstones ∪
+  latest upserts) — no per-batch rewrite of the corpus, which is what
+  makes this viable at 10^12 turns (prod: Iceberg ``MERGE INTO`` with
+  positional deletes);
+- ``search()`` evaluates BM25 over base + delta postings with
+  tombstoned docs excluded. Corpus statistics follow **Lucene/Bleve
+  live semantics**: N and df still count tombstoned-but-unmerged docs
+  (Lucene's ``maxDoc``/``docFreq`` do the same until segments merge),
+  so scores drift slightly between compactions and snap to exact on
+  ``compact()``;
+- ``compact()`` rebuilds the base snapshot from ``current_docs()`` via
+  the batch build job (two-phase merge of the north rule) and clears
+  deltas — the analogue of a scorch segment merge, after which results
+  are rank-identical to the direct path (tested).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..functions.text import doc_id_col, tokens_no_stop
+from ..index.build import SEGMENT_SCHEMA, _make_segment_encoder, bucket_col, build_index
+from ..index.catalog import IndexCatalog
+from ..index.codec import SEG_SPAN
+from ..index.engine import IndexHandle, _idf, _make_scorer
+
+DOC_FIELDS = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
+
+
+def message_schema() -> str:
+    """Stream message DDL — mirrors reference ``pkg/model/model.go:3-7``
+    plus ``seq`` (the stream position; a Kafka offset in prod) which
+    pins last-write-wins order *within* a micro-batch."""
+    return f"seq LONG, doc_id STRING, delete BOOLEAN, doc STRUCT<{DOC_FIELDS}>"
+
+
+class StreamingIndex:
+    """One streamed logical index: base snapshot + ordered delta log.
+
+    Layout under ``root/``::
+
+        index/            IndexCatalog (base snapshots, atomic CURRENT)
+        docs/base/        materialized corpus at last compaction
+        deltas/delta-<n>/ upserts.parquet, docmap.parquet,
+                          postings.parquet, meta.json  (immutable)
+        checkpoint/       Structured Streaming checkpoint (exactly-once)
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.catalog = IndexCatalog(os.path.join(root, "index"))
+        self.docs_base = os.path.join(root, "docs", "base")
+        self.delta_root = os.path.join(root, "deltas")
+        self.checkpoint = os.path.join(root, "checkpoint")
+        os.makedirs(self.delta_root, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # bootstrap / delta log
+    # ------------------------------------------------------------------
+
+    def bootstrap(self, transcripts: DataFrame) -> None:
+        """Initial load: materialize the corpus + build the base index."""
+        transcripts.write.mode("overwrite").parquet(self.docs_base)
+        build_index(self.spark, self.spark.read.parquet(self.docs_base), self.catalog)
+
+    def delta_ids(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.delta_root):
+            if name.startswith("delta-"):
+                out.append(int(name[6:]))
+        return sorted(out)
+
+    def _delta_meta(self, did: int) -> dict:
+        with open(os.path.join(self.delta_root, f"delta-{did}", "meta.json")) as f:
+            return json.load(f)
+
+    def _next_doc_int(self) -> int:
+        """High watermark for delta doc_int assignment."""
+        base = self.catalog.current()
+        hi = base.stats["n_docs"]
+        for did in self.delta_ids():
+            hi = max(hi, self._delta_meta(did)["doc_int_end"])
+        return hi
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+
+    def ingest_files(self, source_dir: str, max_files_per_trigger: int | None = None):
+        """Drain all available stream input exactly once and return.
+
+        ``availableNow`` processes everything present, in micro-batches,
+        against the checkpoint — calling again with no new files is a
+        no-op; a crash mid-stream resumes without reapplying batches.
+        """
+        reader = (
+            self.spark.readStream.schema(message_schema())
+            .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+            .json(source_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(lambda df, eid: self.apply_batch(df, eid))
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """One micro-batch → one immutable delta dir (idempotent by name:
+        a re-delivered epoch overwrites the same delta)."""
+        t0 = time.perf_counter()
+        ddir = os.path.join(self.delta_root, f"delta-{epoch_id}")
+        tmp = os.path.join(self.delta_root, f".tmp-{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+
+        # last-write-wins inside the batch (arrival order = seq)
+        w = Window.partitionBy("doc_id").orderBy(F.desc("seq"))
+        last = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .cache()
+        )
+        upserts = (
+            last.where(~F.coalesce(F.col("delete"), F.lit(False)))
+            .select(
+                "doc.conv_id", "doc.turn_idx", "doc.role", "doc.text", "doc.tool",
+                # the corpus parquet is TIMESTAMP_NTZ; session TZ is UTC so
+                # this cast is value-preserving for the stream's ISO strings
+                F.col("doc.ts").cast("timestamp_ntz").alias("ts"),
+            )
+        )
+        tombstones = [r["doc_id"] for r in last.select("doc_id").collect()]
+        upserts.write.mode("overwrite").parquet(os.path.join(tmp, "upserts"))
+
+        # --- mini index over the new rows (same layout as the base) ----
+        up = self.spark.read.parquet(os.path.join(tmp, "upserts"))
+        start = self._next_doc_int()
+        # micro-batches are small relative to the corpus: a single-window
+        # row_number is fine here (the batch build path stays windowless)
+        tok = (
+            up.select(
+                doc_id_col().alias("doc_id"), "conv_id", "turn_idx", "role", "tool", "ts",
+                tokens_no_stop("text").alias("tokens"),
+            )
+            .withColumn("dl", F.size("tokens"))
+            .withColumn(
+                "doc_int",
+                F.lit(start) + F.row_number().over(Window.orderBy("doc_id")) - F.lit(1),
+            )
+        )
+        tok.select("doc_int", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl") \
+            .write.mode("overwrite").parquet(os.path.join(tmp, "docmap"))
+
+        base = self.catalog.current()
+        nb = base.manifest["n_buckets"]
+        encoder = _make_segment_encoder(base.stats["avgdl"])  # skip-bound metadata only
+        tf = (
+            tok.select("doc_int", "dl", F.explode("tokens").alias("term"))
+            .groupBy("doc_int", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("bucket", bucket_col(F.col("term"), nb))
+            .withColumn("seg", (F.col("doc_int") / F.lit(SEG_SPAN)).cast("long"))
+        )
+        tf.groupBy("bucket", "seg").applyInPandas(encoder, SEGMENT_SCHEMA) \
+            .write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
+
+        dm = self.spark.read.parquet(os.path.join(tmp, "docmap"))
+        row = dm.agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl")).collect()[0]
+        meta = {
+            "epoch": int(epoch_id),
+            "n_docs": int(row["n"]),
+            "sum_dl": int(row["sdl"]),
+            "doc_int_start": start,
+            "doc_int_end": start + int(row["n"]),
+            "tombstones": sorted(tombstones),
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        last.unpersist()
+        shutil.rmtree(ddir, ignore_errors=True)
+        os.replace(tmp, ddir)  # atomic publish of the delta
+
+    # ------------------------------------------------------------------
+    # merge-on-read views
+    # ------------------------------------------------------------------
+
+    def _tombstoned_doc_ids(self, before: int | None = None) -> set[str]:
+        out: set[str] = set()
+        for did in self.delta_ids():
+            if before is None or did < before:
+                out.update(self._delta_meta(did)["tombstones"])
+        return out
+
+    def current_docs(self) -> DataFrame:
+        """Live corpus view: base ∖ tombstones ∪ latest upsert per doc
+        (merge-on-read; prod = Iceberg MERGE with positional deletes)."""
+        base = self.spark.read.parquet(self.docs_base).withColumn("_v", F.lit(-1))
+        parts = [base]
+        for did in self.delta_ids():
+            up = self.spark.read.parquet(
+                os.path.join(self.delta_root, f"delta-{did}", "upserts")
+            ).withColumn("_v", F.lit(did))
+            parts.append(up)
+        allv = parts[0]
+        for p in parts[1:]:
+            allv = allv.unionByName(p)
+        tomb_by_delta = [
+            (did, self._delta_meta(did)["tombstones"]) for did in self.delta_ids()
+        ]
+        did_col = doc_id_col()
+        keep = allv.withColumn("_doc_id", did_col)
+        # a row of version v is dead iff some delta > v tombstones its doc_id
+        dead = F.lit(False)
+        for did, tombs in tomb_by_delta:
+            if tombs:
+                dead = dead | ((F.col("_v") < F.lit(did)) & F.col("_doc_id").isin(tombs))
+        return keep.where(~dead).drop("_v", "_doc_id")
+
+    # ------------------------------------------------------------------
+    # live search (base + deltas, Lucene-style live stats)
+    # ------------------------------------------------------------------
+
+    def search(self, terms: list[str], k: int = S.TOP_K) -> DataFrame:
+        """Top-k (doc_id, score) over base + unmerged deltas.
+
+        N/df/avgdl include tombstoned-but-unmerged docs (Lucene ``maxDoc``
+        semantics — see module docstring); tombstoned docs are excluded
+        from the *results*. Block-max pruning is disabled on the live
+        path (delta skip bounds were built with the stale base avgdl);
+        ``compact()`` restores the pruned, exact base path.
+        """
+        spark = self.spark
+        terms = list(dict.fromkeys(terms))
+        base = self.catalog.current()
+        ix = IndexHandle(spark, base)
+        deltas = self.delta_ids()
+
+        # merged live stats
+        n_docs = base.stats["n_docs"]
+        sum_dl = base.stats["sum_dl"]
+        for did in deltas:
+            m = self._delta_meta(did)
+            n_docs += m["n_docs"]
+            sum_dl += m["sum_dl"]
+        avgdl = float(sum_dl) / float(max(n_docs, 1))
+
+        posting_parts = [ix.postings()]
+        docmap_parts = [ix.docmap().select("doc_int", "doc_id")]
+        for did in deltas:
+            d = os.path.join(self.delta_root, f"delta-{did}")
+            posting_parts.append(spark.read.parquet(os.path.join(d, "postings")))
+            docmap_parts.append(
+                spark.read.parquet(os.path.join(d, "docmap")).select("doc_int", "doc_id")
+            )
+        postings = posting_parts[0]
+        for p in posting_parts[1:]:
+            postings = postings.unionByName(p)
+        docmap = docmap_parts[0]
+        for p in docmap_parts[1:]:
+            docmap = docmap.unionByName(p)
+
+        hit = postings.where(F.col("term").isin(terms))
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in hit.groupBy("term").agg(F.sum("n").alias("df")).collect()
+        }
+        live_terms = [t for t in terms if t in dfs]
+        if not live_terms:
+            return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+        idfs = {t: _idf(n_docs, dfs[t]) for t in live_terms}
+
+        scored = (
+            hit.where(F.col("term").isin(live_terms))
+            .select("term", "postings", "block_max_tfnorm")
+            .mapInPandas(_make_scorer(idfs, avgdl, 0.0), "doc_int LONG, contrib DOUBLE")
+            .groupBy("doc_int")
+            .agg(F.sum("contrib").alias("score_raw"))
+        )
+        # exclude dead versions: doc_int belongs to base (v=-1) or the
+        # delta that minted it; dead iff a later delta tombstoned the id
+        hydrated = scored.join(docmap, "doc_int")
+        dead = F.lit(False)
+        for did in deltas:
+            tombs = self._delta_meta(did)["tombstones"]
+            if tombs:
+                start = self._delta_meta(did)["doc_int_start"]
+                dead = dead | ((F.col("doc_int") < F.lit(start)) & F.col("doc_id").isin(tombs))
+        return (
+            hydrated.where(~dead)
+            .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"))
+        )
+
+    # ------------------------------------------------------------------
+    # compaction (scorch-style segment merge)
+    # ------------------------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold deltas into a new base: materialize ``current_docs()``,
+        rebuild the index snapshot (atomic publish), drop the delta log.
+        After this, ``search()`` is rank-identical to the direct path."""
+        deltas = self.delta_ids()
+        if not deltas:
+            return
+        tmp_docs = self.docs_base + ".compact"
+        self.current_docs().write.mode("overwrite").parquet(tmp_docs)
+        # swap corpus, then rebuild + publish index from the new base
+        old = self.docs_base + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.docs_base, old)
+        os.replace(tmp_docs, self.docs_base)
+        shutil.rmtree(old, ignore_errors=True)
+        build_index(self.spark, self.spark.read.parquet(self.docs_base), self.catalog)
+        for did in deltas:
+            shutil.rmtree(os.path.join(self.delta_root, f"delta-{did}"), ignore_errors=True)
