@@ -22,7 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     cpus = int(sys.argv[1])
     sf = float(sys.argv[2])
-    root = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/seng_scaling/sf{sf:g}_c{cpus}"
+    # staging + shuffle live on tmpfs: on a real cluster both scale with
+    # the node count (local NVMe shuffle dirs, distributed-FS staging);
+    # a single box's one spinning/virtual disk is a serial resource that
+    # would otherwise cap every parallelism level at the same bandwidth
+    root = sys.argv[3] if len(sys.argv) > 3 else f"/dev/shm/seng_scaling/sf{sf:g}_c{cpus}"
+    local_dir = "/dev/shm/seng-spark-local"
+    os.makedirs(local_dir, exist_ok=True)
 
     from searchengine_spark.corpus import ensure_transcripts
     from searchengine_spark.index.build import build_index
@@ -31,7 +37,13 @@ def main() -> None:
 
     path = ensure_transcripts(sf)
     shutil.rmtree(root, ignore_errors=True)
-    spark = get_spark(f"seng-build-c{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark = get_spark(
+        f"seng-build-c{cpus}",
+        master=f"local[{cpus}]",
+        # ~4 waves per stage: smooths stragglers from skewed buckets
+        shuffle_partitions=max(4 * cpus, 8),
+        extra_conf={"spark.local.dir": local_dir},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t = spark.read.parquet(path)
     # steady-state measurement: warm JVM codegen/reader paths once (the

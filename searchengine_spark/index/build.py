@@ -405,7 +405,10 @@ def build_index(
         terms = (
             spark.read.parquet(postings_dir)
             .groupBy("term")
-            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            # bucket rides along so a query's term lookup returns df AND
+            # the postings partition to scan in ONE point-read (engine.py)
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"),
+                 F.first("bucket").alias("bucket"))
             .observe(obs, F.count(F.lit(1)).alias("rows"), F.max("df").alias("max_df"))
         )
         terms.write.mode("overwrite").parquet(terms_dir)

@@ -47,6 +47,12 @@ from .codec import BLOCK, decode_postings
 from .build import bucket_col
 
 
+# hold the term dictionary driver-side below this vocabulary size — the
+# analogue of Bleve keeping its FST term dictionary in memory. Above it
+# (web-scale vocabularies) term lookups stay distributed point-reads.
+TERM_CACHE_MAX = 1_000_000
+
+
 @dataclass
 class IndexHandle:
     spark: SparkSession
@@ -64,6 +70,25 @@ class IndexHandle:
 
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(self.snapshot.docmap_dir)
+
+    def term_dict(self) -> dict[str, tuple[int, int | None]] | None:
+        """Driver-cached term → (df, bucket), or None if the vocabulary
+        is too large to pin (callers fall back to point-reads)."""
+        cached = getattr(self, "_term_dict", False)
+        if cached is not False:
+            return cached
+        t = self.terms()
+        has_bucket = "bucket" in t.columns
+        cols = ["term", "df"] + (["bucket"] if has_bucket else [])
+        rows = t.select(*cols).limit(TERM_CACHE_MAX + 1).collect()
+        if len(rows) > TERM_CACHE_MAX:
+            self._term_dict = None
+        else:
+            self._term_dict = {
+                r["term"]: (int(r["df"]), int(r["bucket"]) if has_bucket else None)
+                for r in rows
+            }
+        return self._term_dict
 
 
 def open_index(spark: SparkSession, catalog: IndexCatalog) -> IndexHandle:
@@ -85,11 +110,36 @@ def term_dfs(ix: IndexHandle, terms: list[str]) -> dict[str, int]:
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+def term_meta(ix: IndexHandle, terms: list[str]) -> dict[str, tuple[int, int | None]]:
+    """term → (df, bucket): a driver-dict lookup when the vocabulary is
+    pinned (TERM_CACHE_MAX), else one point-read of the terms table.
+    bucket is None on snapshots older than the bucket-in-terms layout."""
+    if not terms:
+        return {}
+    td = ix.term_dict()
+    if td is not None:
+        return {t: td[t] for t in terms if t in td}
+    t = ix.terms()
+    has_bucket = "bucket" in t.columns
+    cols = ["term", "df"] + (["bucket"] if has_bucket else [])
+    rows = t.where(F.col("term").isin(terms)).select(*cols).collect()
+    return {
+        r["term"]: (int(r["df"]), int(r["bucket"]) if has_bucket else None)
+        for r in rows
+    }
+
+
 def expand_fuzzy(ix: IndexHandle, term: str) -> list[str]:
     """Fuzziness=1 expansion against the term dictionary (reference
-    ``internal/search/search.go:122``; FST automaton → here a pruned
-    dictionary scan: length ±1 window pushed to parquet, then exact
-    Levenshtein ≤ 1)."""
+    ``internal/search/search.go:122``; FST automaton → here a scan of
+    the pinned driver dictionary, or a pruned distributed scan: length
+    ±1 window pushed to parquet, then exact Levenshtein ≤ 1)."""
+    td = ix.term_dict()
+    if td is not None:
+        from ..oracle import levenshtein_leq1
+
+        lo, hi = len(term) - 1, len(term) + 1
+        return sorted(v for v in td if lo <= len(v) <= hi and levenshtein_leq1(term, v))
     cand = (
         ix.terms()
         .where(F.length("term").between(len(term) - 1, len(term) + 1))
@@ -177,6 +227,12 @@ def _buckets_of(ix: IndexHandle, terms: list[str]) -> list[int]:
     return sorted({int(r["b"]) for r in rows})
 
 
+# pruning pays only when there are enough doc-aligned segments for the
+# metadata pass to skip some; below this the extra driver round-trips
+# cost more than scanning every segment
+PRUNE_MIN_DOCS = 4 * (1 << 16)
+
+
 def search_index(
     ix: IndexHandle,
     terms: list[str],
@@ -188,17 +244,25 @@ def search_index(
 ) -> DataFrame:
     """Top-k (doc_id, score) over the postings index — rank-identical to
     the direct path. ``doc_predicate`` filters candidate docs via docmap
-    (MUST block, reference search.go:133-139); df/idf stay corpus-global."""
+    (MUST block, reference search.go:133-139); df/idf stay corpus-global.
+
+    Serving-path job budget: 1 terms point-read (df + bucket), 1
+    score+top-k job (TakeOrderedAndProject over the pruned postings
+    scan), 1 docmap point-read to hydrate doc_ids — plus 2 metadata
+    jobs only when block-max pruning engages (large corpora)."""
     spark = ix.spark
     terms = list(dict.fromkeys(terms))
-    dfs = term_dfs(ix, terms)
-    terms = [t for t in terms if t in dfs]  # unseen terms match nothing
+    meta = term_meta(ix, terms)
+    terms = [t for t in terms if t in meta]  # unseen terms match nothing
     if not terms:
         return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
     st = ix.stats
-    idfs = {t: _idf(st["n_docs"], dfs[t]) for t in terms}
+    idfs = {t: _idf(st["n_docs"], meta[t][0]) for t in terms}
 
-    buckets = _buckets_of(ix, terms)
+    if all(meta[t][1] is not None for t in terms):
+        buckets = sorted({meta[t][1] for t in terms})
+    else:  # pre-bucket-column snapshot fallback
+        buckets = _buckets_of(ix, terms)
     segs = (
         ix.postings()
         .where(F.col("bucket").isin(buckets))
@@ -206,7 +270,7 @@ def search_index(
     )
 
     theta = 0.0
-    if prune and doc_predicate is None:
+    if prune and doc_predicate is None and st["n_docs"] >= PRUNE_MIN_DOCS:
         segs, theta = _prune_segments(ix, segs, idfs, k, overfetch)
 
     scored = segs.select("term", "postings", "block_max_tfnorm").mapInPandas(
@@ -217,21 +281,32 @@ def search_index(
         allowed = ix.docmap().where(doc_predicate).select("doc_int")
         scored = scored.join(allowed, "doc_int", "left_semi")
 
-    topk = (
+    top_rows = (
         scored.groupBy("doc_int")
         .agg(F.sum("contrib").alias("score_raw"))
+        # doc_int order == doc_id order (monotone numbering) → the
+        # tie-break at the k boundary is exact before hydration
         .orderBy(F.desc("score_raw"), F.asc("doc_int"))
         .limit(k)
+        .collect()
     )
-    ids = [int(r["doc_int"]) for r in topk.collect()]
-    if not ids:
+    if not top_rows:
         return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
-    hydrated = (
-        topk.join(ix.docmap().where(F.col("doc_int").isin(ids)).select("doc_int", "doc_id"), "doc_int")
-        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
-        .select("doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"))
+    ids = [int(r["doc_int"]) for r in top_rows]
+    id2name = {
+        int(r["doc_int"]): r["doc_id"]
+        for r in ix.docmap()
+        .where(F.col("doc_int").isin(ids))
+        .select("doc_int", "doc_id")
+        .collect()
+    }
+    out = sorted(
+        ((id2name[int(r["doc_int"])], float(r["score_raw"])) for r in top_rows),
+        key=lambda x: (-x[1], x[0]),
     )
-    return hydrated
+    return spark.createDataFrame(
+        [(d, round(s, S.SCORE_DECIMALS)) for d, s in out], "doc_id STRING, score DOUBLE"
+    )
 
 
 def _prune_segments(
