@@ -65,7 +65,7 @@ tok AS (SELECT doc_id, unnest(toks) AS term FROM t)
 """
 
 
-def _bm25_sql(path: str, terms_expr: str, where: str = "") -> str:
+def _bm25_sql(path: str, terms_expr: str, where: str = "", having: str = "") -> str:
     """terms_expr: SQL producing qt(term) rows (the distinct query terms)."""
     return f"""{_tok_cte(path)},
 qt AS ({terms_expr}),
@@ -81,6 +81,7 @@ sc AS (
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st
   {where}
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT doc_id, round(score_raw, {S.SCORE_DECIMALS}) AS score
 FROM sc ORDER BY score_raw DESC, doc_id ASC LIMIT {S.TOP_K}
@@ -122,6 +123,65 @@ def q_bm25_filtered(spark, sf_dir):
 
 def q_bm25_synonym(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, Q_SYNONYM)
+
+
+def q_bm25_and(spark, sf_dir):
+    """Conjunctive search (reference SimpleSearch, search.go:28-48):
+    doc must contain every query term — posting intersection J4."""
+    return search_direct(load_transcripts(spark, sf_dir), Q_MULTI, mode="and")
+
+
+def q_bm25_indexed_and(spark, sf_dir):
+    from .index.engine import search_index
+
+    return search_index(ensure_index(spark, sf_dir), Q_MULTI, mode="and")
+
+
+def q_search_sorted_recent(spark, sf_dir):
+    """Explicit user sort (R4, rank.go:100-110): matching docs ordered
+    by the sortable ts field, ranking fully overridden."""
+    t = load_transcripts(spark, sf_dir)
+    tok = tokenized(t)
+    match = (
+        tok.select("doc_id", "ts", F.explode("tokens").alias("term"))
+        .where(F.col("term").isin(Q_FILTERED))
+        .select("doc_id", "ts")
+        .distinct()
+    )
+    return (
+        match.orderBy(F.desc("ts"), F.asc("doc_id"))
+        .limit(25)
+        .select("doc_id", F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"))
+    )
+
+
+def q_search_boosted(spark, sf_dir):
+    """Boost-typed secondary sort (R3 *intended* semantics, quirk Q3):
+    score desc, then logarithmic boost log(turn_idx+1)*2 desc, doc_id."""
+    t = load_transcripts(spark, sf_dir)
+    topk = search_direct(t, Q_MULTI, k=50)
+    meta = t.select(doc_id_col().alias("doc_id"), "turn_idx")
+    boost = F.log(F.col("turn_idx").cast("double") + F.lit(1.0)) * F.lit(2.0)
+    return (
+        topk.join(meta, "doc_id")
+        .withColumn("boost_raw", boost)
+        .orderBy(F.desc("score"), F.desc("boost_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score", F.round("boost_raw", S.SCORE_DECIMALS).alias("boost"))
+    )
+
+
+LOOKUP_IDS = ["c0000000:0000", "c0000001:0000", "c0000002:0001"]
+
+
+def q_doc_lookup(spark, sf_dir):
+    """Point lookup by docID (S5, index.go:139-141): stored fields."""
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.select(doc_id_col().alias("doc_id"), "role", "tool", "text", _ts_us())
+        .where(F.col("doc_id").isin(LOOKUP_IDS))
+        .orderBy("doc_id")
+    )
 
 
 def q_bm25_fuzzy(spark, sf_dir):
@@ -618,6 +678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "bm25_synonym": q_bm25_synonym,
         "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_and": q_bm25_and,
+        "bm25_indexed_and": q_bm25_indexed_and,
+        "search_sorted_recent": q_search_sorted_recent,
+        "search_boosted": q_search_boosted,
+        "doc_lookup": q_doc_lookup,
         "term_df_top": q_term_df_top,
         "doclen_by_role": q_doclen_by_role,
         "scan_stable_order": q_scan_stable_order,
@@ -656,6 +721,57 @@ def oracle_sql() -> dict[str, str]:
             path,
             f"SELECT DISTINCT term FROM tok WHERE levenshtein(term, '{FUZZY_SOURCE}') <= 1",
         ),
+        "bm25_and": _bm25_sql(
+            path, lit(Q_MULTI), having=f"HAVING count(*) = {len(Q_MULTI)}"
+        ),
+        "bm25_indexed_and": _bm25_sql(
+            path, lit(Q_MULTI), having=f"HAVING count(*) = {len(Q_MULTI)}"
+        ),
+        "search_sorted_recent": f"""{_tok_cte(path)},
+m AS (
+  SELECT DISTINCT doc_id, ts FROM tok JOIN dl USING (doc_id)
+  WHERE term IN ({_terms_sql(Q_FILTERED)})
+)
+SELECT doc_id, epoch_us(ts) AS ts_us FROM m
+ORDER BY ts DESC, doc_id ASC LIMIT 25
+""",
+        "search_boosted": f"""{_tok_cte(path)},
+qt AS (SELECT unnest([{_terms_sql(Q_MULTI)}]) AS term),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * {S.K1 + 1.0} / (tf.tf + {S.K1} * ({1.0 - S.B} + {S.B} * dl.dl / st.avgdl)) ) AS score_raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id
+),
+top50 AS (
+  SELECT doc_id, round(score_raw, {S.SCORE_DECIMALS}) AS score
+  FROM sc ORDER BY score_raw DESC, doc_id ASC LIMIT 50
+),
+boosted AS (
+  SELECT t.doc_id, t.score,
+         ln(CAST(r.turn_idx AS DOUBLE) + 1.0) * 2.0 AS boost_raw
+  FROM top50 t
+  JOIN (SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
+               turn_idx
+        FROM read_parquet('{path}')) r USING (doc_id)
+)
+SELECT doc_id, score, round(boost_raw, {S.SCORE_DECIMALS}) AS boost
+FROM boosted ORDER BY score DESC, boost_raw DESC, doc_id ASC LIMIT 10
+""",
+        "doc_lookup": f"""
+SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
+       role, tool, text, epoch_us(ts) AS ts_us
+FROM read_parquet('{path}')
+WHERE conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+      IN ({", ".join(repr(i) for i in LOOKUP_IDS)})
+ORDER BY doc_id
+""",
         "term_df_top": f"""{_tok_cte(path)}
 SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 50

@@ -241,10 +241,14 @@ def search_index(
     doc_predicate: Column | None = None,
     prune: bool = True,
     overfetch: int = 4,
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k (doc_id, score) over the postings index — rank-identical to
     the direct path. ``doc_predicate`` filters candidate docs via docmap
     (MUST block, reference search.go:133-139); df/idf stay corpus-global.
+    ``mode="and"`` keeps only docs matching every term (posting-list
+    intersection, J4; pruning is disabled there — the OR-score θ bound
+    is not sound for conjunctive top-k).
 
     Serving-path job budget: 1 terms point-read (df + bucket), 1
     score+top-k job (TakeOrderedAndProject over the pruned postings
@@ -253,7 +257,10 @@ def search_index(
     spark = ix.spark
     terms = list(dict.fromkeys(terms))
     meta = term_meta(ix, terms)
-    terms = [t for t in terms if t in meta]  # unseen terms match nothing
+    if mode == "and" and len(meta) < len(terms):
+        # a term absent from the corpus can never satisfy the conjunction
+        return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+    terms = [t for t in terms if t in meta]  # OR: unseen terms match nothing
     if not terms:
         return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
     st = ix.stats
@@ -270,7 +277,7 @@ def search_index(
     )
 
     theta = 0.0
-    if prune and doc_predicate is None and st["n_docs"] >= PRUNE_MIN_DOCS:
+    if prune and doc_predicate is None and mode == "or" and st["n_docs"] >= PRUNE_MIN_DOCS:
         segs, theta = _prune_segments(ix, segs, idfs, k, overfetch)
 
     scored = segs.select("term", "postings", "block_max_tfnorm").mapInPandas(
@@ -281,12 +288,16 @@ def search_index(
         allowed = ix.docmap().where(doc_predicate).select("doc_int")
         scored = scored.join(allowed, "doc_int", "left_semi")
 
+    agg = scored.groupBy("doc_int").agg(
+        F.sum("contrib").alias("score_raw"), F.count(F.lit(1)).alias("_nt")
+    )
+    if mode == "and":
+        # one scorer row per (term, doc) → row count == matched terms
+        agg = agg.where(F.col("_nt") == len(terms))
     top_rows = (
-        scored.groupBy("doc_int")
-        .agg(F.sum("contrib").alias("score_raw"))
         # doc_int order == doc_id order (monotone numbering) → the
         # tie-break at the k boundary is exact before hydration
-        .orderBy(F.desc("score_raw"), F.asc("doc_int"))
+        agg.orderBy(F.desc("score_raw"), F.asc("doc_int"))
         .limit(k)
         .collect()
     )

@@ -80,11 +80,15 @@ def search_direct(
     *,
     k: int = S.TOP_K,
     doc_predicate: Column | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k (doc_id, score) for DISTINCT query `terms` straight off the
     transcripts table. `doc_predicate` is the MUST filter block applied
     to document metadata (reference `internal/search/search.go:133-139`
-    — filters constrain candidates, never affect scores)."""
+    — filters constrain candidates, never affect scores). ``mode`` picks
+    the boolean combiner: "or" = Bleve should-disjunction (search.go:
+    120-124), "and" = SimpleSearch's conjunction (search.go:28-48) —
+    the doc must contain every query term (posting intersection J4)."""
     terms = list(dict.fromkeys(terms))
     tok = tokenized(transcripts)
     if doc_predicate is not None:
@@ -103,8 +107,11 @@ def search_direct(
         tf.join(F.broadcast(df_t), "term")
         .withColumn("s", bm25_score_expr(F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl))
         .groupBy("doc_id")
-        .agg(F.sum("s").alias("score_raw"))
+        .agg(F.sum("s").alias("score_raw"), F.count(F.lit(1)).alias("_nt"))
     )
+    if mode == "and":
+        # tf has one row per (doc, term) → row count == matched terms
+        scored = scored.where(F.col("_nt") == len(terms))
     return (
         scored.orderBy(F.desc("score_raw"), F.asc("doc_id"))
         .limit(k)

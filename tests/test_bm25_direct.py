@@ -48,3 +48,26 @@ def test_filtered_query(spark, transcripts, oracle_index):
 def test_k_limit(spark, transcripts, oracle_index):
     got = search_direct(transcripts, ["data"]).collect()
     assert len(got) == S.TOP_K
+
+
+def test_and_mode_matches_oracle(spark, transcripts, oracle_index):
+    """AND = docs containing every term, scored like OR, top-k."""
+    terms = ["data", "run"]  # heavy hitters that do co-occur
+    expected = sorted(
+        (
+            (-oracle_index.score_doc(d, terms), d)
+            for d, c in oracle_index.tf.items()
+            if all(t in c for t in terms)
+        ),
+    )[: S.TOP_K]
+    assert expected, "test corpus must contain a conjunctive match"
+    got = search_direct(transcripts, terms, mode="and").collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in expected]
+    for r, (neg_s, _) in zip(got, expected):
+        assert r["score"] == pytest.approx(-neg_s, abs=2e-4)
+
+
+def test_and_mode_no_partial_matches(spark, transcripts):
+    """A doc matching only some terms must not appear in AND results."""
+    terms = ["spark", "zzzznothing"]  # second term matches nothing
+    assert search_direct(transcripts, terms, mode="and").collect() == []

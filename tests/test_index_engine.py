@@ -122,3 +122,15 @@ def test_build_resumable(spark, transcripts, tmp_path, monkeypatch):
     got = _pairs(search_index(ixr, ["spark"]))
     want = _pairs(search_direct(transcripts, ["spark"]))
     assert got == want
+
+
+def test_and_mode_matches_direct(spark, transcripts, ix):
+    terms = ["query", "plan", "shuffle"]
+    assert _pairs(search_index(ix, terms, mode="and")) == _pairs(
+        search_direct(transcripts, terms, mode="and")
+    )
+
+
+def test_and_mode_unseen_term_empty(spark, ix):
+    # a term absent from the corpus can never satisfy the conjunction
+    assert search_index(ix, ["spark", "zzznotaterm"], mode="and").count() == 0
