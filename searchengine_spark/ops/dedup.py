@@ -32,7 +32,12 @@ def tokens_col(text: Column) -> Column:
 
 def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
     """Distinct w-token shingles, space-joined; empty array when the doc
-    has fewer than w tokens (sequence() would count *down* otherwise)."""
+    has fewer than w tokens (sequence() would count *down* otherwise).
+
+    Higher-order-function formulation — kept as the reference semantics
+    and for tests; the hot path uses :func:`shingles_udf` (Arrow), which
+    is ~10× faster because nested transform/concat_ws expressions run
+    interpreted, re-entering the expression tree per window."""
     t = tokens_col(text)
     return F.when(F.size(t) < w, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -44,6 +49,27 @@ def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
     )
 
 
+def _make_shingles_udf(w: int = SHINGLE_W):
+    import re
+
+    import pandas  # noqa: F401 — required for pandas_udf type inference
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(S.TOKEN_PATTERN_PY, re.UNICODE)
+
+    def f(t: str) -> list[str]:
+        toks = pat.findall(t.lower())
+        if len(toks) < w:
+            return []
+        return list(dict.fromkeys(" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)))
+
+    def shingles(text: "pandas.Series") -> "pandas.Series":
+        return text.map(f)
+
+    shingles.__annotations__ = {"text": pandas.Series, "return": pandas.Series}
+    return pandas_udf(shingles, "array<string>")
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup via content hash: one keeper per distinct text."""
     return (
@@ -53,8 +79,10 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles) for docs with ≥1 shingle — computed once."""
-    return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles")).where(
+    """(doc_id, shingles) for docs with ≥1 shingle — computed once,
+    Arrow-vectorized."""
+    udf = _make_shingles_udf()
+    return docs.select("doc_id", udf(F.col("text")).alias("shingles")).where(
         F.size("shingles") > 0
     )
 
@@ -152,9 +180,7 @@ def ngram_jaccard_pairs(
     cap is the standard recall/skew trade and is part of the pinned
     semantics, mirrored in the oracle).
     """
-    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles")).where(
-        F.size("shingles") > 0
-    )
+    sh = doc_shingles(docs)
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).where(F.col("df_s") <= max_shingle_df)
     ex = ex.join(rare.select("s"), "s")

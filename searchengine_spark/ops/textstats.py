@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import semantics as S
-from .dedup import shingles_col, tokens_col
+from .dedup import doc_shingles, tokens_col
 
 # tiny per-language function-word sets for the n-gram/stopword heuristic
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -99,9 +99,12 @@ def fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     '|'-joined (stringified so cross-engine value-hash comparison is
     representation-stable). Equal fingerprints ⇒ near-identical shingle
     sets — a cheap first-pass dedup key."""
-    sh = shingles_col(F.col("text"))
-    hashes = F.array_sort(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
-    return docs.select(
-        "doc_id",
-        F.concat_ws("|", F.slice(hashes, 1, k)).alias("fingerprint"),
+    # explode → codegen md5 → re-assemble: the higher-order transform()
+    # alternative runs interpreted (one md5 call-tree per element)
+    sh = docs.select("doc_id").join(doc_shingles(docs), "doc_id", "left")
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+    hashed = ex.select("doc_id", F.substring(F.md5("s"), 1, 16).alias("h"))
+    agg = hashed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("h")).alias("hs")
     )
+    return agg.select("doc_id", F.concat_ws("|", F.slice("hs", 1, k)).alias("fingerprint"))
