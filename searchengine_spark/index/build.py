@@ -258,6 +258,19 @@ def bucket_col(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes under a staging dir — the stage's materialized output
+    size, recorded in the ledger (north_star: per-stage bytes metric)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 # --------------------------------------------------------------------------
 # the build job
 # --------------------------------------------------------------------------
@@ -305,7 +318,7 @@ def build_index(
         ).write.mode("overwrite").parquet(raw_dir)
         observed = obs.get  # collected during the write — no extra pass
         dt = time.perf_counter() - t0
-        ledger.commit("docmap_raw", seconds=round(dt, 3))
+        ledger.commit("docmap_raw", seconds=round(dt, 3), bytes_written=_dir_bytes(raw_dir))
 
     raw = spark.read.parquet(raw_dir)
 
@@ -341,7 +354,8 @@ def build_index(
         ).write.mode("overwrite").parquet(docmap_dir)
         dt = time.perf_counter() - t0
         ledger.commit("docmap", rows=stats["n_docs"], seconds=round(dt, 3),
-                      turns_per_sec=round(stats["n_docs"] / dt, 1))
+                      turns_per_sec=round(stats["n_docs"] / dt, 1),
+                      bytes_written=_dir_bytes(docmap_dir))
 
     # ---- stage: tf (the resumability checkpoint) ---------------------------
     if not ledger.done("tf"):
@@ -365,7 +379,8 @@ def build_index(
         n_rows = int(obs.get["rows"])
         dt = time.perf_counter() - t0
         ledger.commit("tf", rows=n_rows, seconds=round(dt, 3),
-                      postings_per_sec=round(n_rows / dt, 1))
+                      postings_per_sec=round(n_rows / dt, 1),
+                      bytes_written=_dir_bytes(tf_dir))
     tf_staged = spark.read.parquet(tf_dir)
 
     # ---- stage: postings (per bucket group, doc-aligned segments) ----------
@@ -392,7 +407,8 @@ def build_index(
         seg_rows, post_n = got["segments"], got["postings"]
         ledger.commit(stage_name, segments=int(seg_rows), postings=int(post_n or 0),
                       seconds=round(dt, 3),
-                      postings_per_sec=round((post_n or 0) / dt, 1))
+                      postings_per_sec=round((post_n or 0) / dt, 1),
+                      bytes_written=_dir_bytes(postings_dir))
 
     # ---- stage: term stats (from postings segment metadata — the segment
     # rows are ≪ the tf table, so this reads ~(term, n, sum_tf) columns of

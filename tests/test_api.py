@@ -1,0 +1,57 @@
+"""Reference API facade: AdvancedSearch / SimpleSearch equivalents
+(SURVEY §3.1) — query expansion + filters + rank composed end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark import api
+from searchengine_spark.validate import ValidationError
+
+
+@pytest.fixture(scope="module")
+def ix(spark, transcripts, tmp_path_factory):
+    from searchengine_spark.index.build import build_index
+    from searchengine_spark.index.catalog import IndexCatalog
+    from searchengine_spark.index.engine import open_index
+
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("api") / "ix"))
+    build_index(spark, transcripts, cat, n_buckets=8)
+    return open_index(spark, cat)
+
+
+def test_advanced_matches_oracle(ix, oracle_index):
+    got = [(r["doc_id"], r["score"]) for r in api.advanced_search(ix, "spark query").collect()]
+    expected = oracle_index.search("spark query", fuzzy=True)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_advanced_with_filters(ix, oracle_index):
+    req = {"one-select": [{"name": "role", "value": "assistant"}]}
+    got = api.advanced_search(ix, "spark", filter_request=req, fuzzy=False).collect()
+    expected = oracle_index.search("spark", predicate=lambda d: d["role"] == "assistant")
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+
+
+def test_advanced_explicit_sort(ix, oracle_index):
+    got = api.advanced_search(ix, "spark", sort_field="ts", fuzzy=False).collect()
+    expected = oracle_index.search("spark", sort_field="ts", sort_desc=True)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+
+
+def test_advanced_rejects_unsortable_field(ix):
+    with pytest.raises(ValidationError):
+        api.advanced_search(ix, "spark", sort_field="text")
+
+
+def test_simple_search_conjunction(ix, oracle_index):
+    got = api.simple_search(ix, "spark", {"role": "assistant", "tool": "search"}).collect()
+    expected = oracle_index.search(
+        "spark", predicate=lambda d: d["role"] == "assistant" and d["tool"] == "search"
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+
+
+def test_hydrated_fields(ix, transcripts):
+    got = api.advanced_search(ix, "spark", fuzzy=False, docs=transcripts).collect()
+    assert got and set(got[0].asDict()) >= {"doc_id", "score", "role", "text", "ts"}
