@@ -325,6 +325,17 @@ def ensure_index(spark, sf_dir: str):
     return open_index(spark, cat)
 
 
+BATCH_QUERIES = {"qa": Q_SINGLE, "qb": Q_MULTI, "qc": Q_HEAVY}
+
+
+def q_search_many_batch(spark, sf_dir):
+    """Batched multi-query evaluation: every query's top-k in ONE
+    distributed pass over the union of query terms (offline-eval path)."""
+    from .index.engine import search_many
+
+    return search_many(ensure_index(spark, sf_dir), BATCH_QUERIES)
+
+
 def q_bm25_indexed_single(spark, sf_dir):
     from .index.engine import search_index
 
@@ -693,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed_single": q_bm25_indexed_single,
         "bm25_indexed_multi": q_bm25_indexed_multi,
         "stream_upsert_search": q_stream_upsert_search,
+        "search_many_batch": q_search_many_batch,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_simhash": q_docs_simhash,
@@ -823,6 +835,14 @@ LIMIT 10
 """,
         "bm25_indexed_single": _bm25_sql(path, lit(Q_SINGLE)),
         "bm25_indexed_multi": _bm25_sql(path, lit(Q_MULTI)),
+        "search_many_batch": "WITH "
+        + ", ".join(
+            f"{qid} AS ({_bm25_sql(path, lit(ts))})" for qid, ts in BATCH_QUERIES.items()
+        )
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS qid, doc_id, score FROM {qid}" for qid in BATCH_QUERIES
+        ),
         # the stream demo compacts to a plain parquet corpus; BM25 over it
         # must equal the streamed+compacted index's answer exactly
         "stream_upsert_search": _bm25_sql(

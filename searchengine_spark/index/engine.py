@@ -320,6 +320,79 @@ def search_index(
     )
 
 
+def search_many(
+    ix: IndexHandle, queries: dict[str, list[str]], *, k: int = S.TOP_K
+) -> DataFrame:
+    """Batched top-k for MANY queries in ONE distributed pass →
+    (qid, doc_id, score), ordered (qid, score desc, doc_id).
+
+    The offline-evaluation path: one postings scan over the union of
+    all query terms, segments decoded once and fanned out to every
+    query containing the term, per-query top-k via a window — per-job
+    scheduling cost amortizes over the whole batch (serving N queries
+    one-by-one pays it N times)."""
+    from pyspark.sql import Window
+
+    spark = ix.spark
+    qterms = {q: list(dict.fromkeys(ts)) for q, ts in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    meta = term_meta(ix, all_terms)
+    st = ix.stats
+    term_q: dict[str, list[tuple[str, float]]] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            if t in meta:
+                term_q.setdefault(t, []).append((qid, _idf(st["n_docs"], meta[t][0])))
+    if not term_q:
+        return spark.createDataFrame([], "qid STRING, doc_id STRING, score DOUBLE")
+
+    if all(meta[t][1] is not None for t in term_q):
+        buckets = sorted({meta[t][1] for t in term_q})
+    else:
+        buckets = _buckets_of(ix, list(term_q))
+    segs = (
+        ix.postings()
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(list(term_q)))
+        .select("term", "postings")
+    )
+    k1, b, avgdl = S.K1, S.B, st["avgdl"]
+
+    def score_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            qids, dints, contribs = [], [], []
+            for term, blob in zip(pdf["term"], pdf["postings"]):
+                docs, tfs, dls = decode_postings(bytes(blob))
+                tfd = tfs.astype(np.float64)
+                dld = dls.astype(np.float64)
+                tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+                for qid, idf in term_q[term]:
+                    qids.append(np.full(len(docs), qid, dtype=object))
+                    dints.append(docs)
+                    contribs.append(idf * tfn)
+            if dints:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(qids),
+                        "doc_int": np.concatenate(dints),
+                        "contrib": np.concatenate(contribs),
+                    }
+                )
+
+    scored = segs.mapInPandas(score_batches, "qid STRING, doc_int LONG, contrib DOUBLE")
+    agg = scored.groupBy("qid", "doc_int").agg(F.sum("contrib").alias("score_raw"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_raw"), F.asc("doc_int"))
+    top = agg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return (
+        top.join(ix.docmap().select("doc_int", "doc_id"), "doc_int")
+        .select("qid", "doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"), "score_raw")
+        .orderBy("qid", F.desc("score_raw"), F.asc("doc_id"))
+        .drop("score_raw")
+    )
+
+
 def _prune_segments(
     ix: IndexHandle, segs: DataFrame, idfs: dict[str, float], k: int, overfetch: int
 ) -> tuple[DataFrame, float]:

@@ -134,3 +134,15 @@ def test_and_mode_matches_direct(spark, transcripts, ix):
 def test_and_mode_unseen_term_empty(spark, ix):
     # a term absent from the corpus can never satisfy the conjunction
     assert search_index(ix, ["spark", "zzznotaterm"], mode="and").count() == 0
+
+
+def test_search_many_matches_singles(spark, ix):
+    from searchengine_spark.index.engine import search_many
+
+    batch = {"qa": ["spark"], "qb": ["query", "plan", "shuffle"], "qc": ["data", "model", "run"]}
+    got = search_many(ix, batch).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in batch.items():
+        assert by_q.get(qid, []) == _pairs(search_index(ix, terms)), qid
