@@ -462,6 +462,18 @@ def q_multimodal_features(spark, sf_dir):
     return OM.extract_features(OM.with_binary_payload(_documents(spark, sf_dir)))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    t = OM.resize_thumbnails(OM.with_binary_payload(_documents(spark, sf_dir)))
+    return t.select("doc_id", F.hex("thumb").alias("thumb_hex"), "w", "h").orderBy("doc_id")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    f = OM.sample_frames(OM.with_binary_payload(_documents(spark, sf_dir)))
+    return f.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex")).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 # --------------------------------------------------------------------------
 # embeddings: ANN (LSH-bucketed) + embedding near-dup pairs
 # --------------------------------------------------------------------------
@@ -713,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_fingerprint": q_docs_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup_pairs": q_emb_neardup_pairs,
     }
@@ -857,6 +871,24 @@ LIMIT 10
         "docs_quality": _sql_quality(),
         "docs_fingerprint": _sql_fingerprint(),
         "multimodal_features": _sql_multimodal(),
+        # this DuckDB build cannot slice BLOBs — but slicing the hex
+        # string is byte-slicing at 2 chars/byte, bit-exact
+        "multimodal_resize": """
+WITH d AS (SELECT doc_id, substr(hex(encode(text)), 1, 512) AS thumb_hex FROM documents)
+SELECT doc_id, thumb_hex,
+       (length(thumb_hex) // 2) % 16 + 1 AS w,
+       ((length(thumb_hex) // 2) // 16) % 16 + 1 AS h
+FROM d ORDER BY doc_id
+""",
+        "multimodal_frames": """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS bh,
+                  greatest(octet_length(encode(text)) // 4, 1) AS step
+           FROM documents),
+f AS (SELECT doc_id, bh, step, unnest([0, 1, 2, 3]) AS frame_idx FROM d)
+SELECT doc_id, frame_idx,
+       substr(bh, frame_idx * step * 2 + 1, step * 2) AS frame_hex
+FROM f ORDER BY doc_id, frame_idx
+""",
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "emb_neardup_pairs": _sql_emb_neardup(),
     }

@@ -51,6 +51,8 @@ from .build import bucket_col
 # analogue of Bleve keeping its FST term dictionary in memory. Above it
 # (web-scale vocabularies) term lookups stay distributed point-reads.
 TERM_CACHE_MAX = 1_000_000
+# same gate for the doc_int → doc_id table (~40 B/doc driver memory)
+DOC_NAME_CACHE_MAX = 5_000_000
 
 
 @dataclass
@@ -70,6 +72,23 @@ class IndexHandle:
 
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(self.snapshot.docmap_dir)
+
+    def doc_names(self) -> dict[int, str] | None:
+        """Driver-cached doc_int → doc_id, or None when the corpus is
+        too large to pin (callers fall back to a docmap point-read).
+        The serving analogue of keeping the docID lookup table hot —
+        saves the hydration job (one of the two per-query jobs)."""
+        cached = getattr(self, "_doc_names", False)
+        if cached is not False:
+            return cached
+        if self.stats["n_docs"] > DOC_NAME_CACHE_MAX:
+            self._doc_names = None
+        else:
+            self._doc_names = {
+                int(r["doc_int"]): r["doc_id"]
+                for r in self.docmap().select("doc_int", "doc_id").collect()
+            }
+        return self._doc_names
 
     def term_dict(self) -> dict[str, tuple[int, int | None]] | None:
         """Driver-cached term → (df, bucket), or None if the vocabulary
@@ -303,14 +322,16 @@ def search_index(
     )
     if not top_rows:
         return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
-    ids = [int(r["doc_int"]) for r in top_rows]
-    id2name = {
-        int(r["doc_int"]): r["doc_id"]
-        for r in ix.docmap()
-        .where(F.col("doc_int").isin(ids))
-        .select("doc_int", "doc_id")
-        .collect()
-    }
+    id2name = ix.doc_names()
+    if id2name is None:  # corpus too large to pin: docmap point-read
+        ids = [int(r["doc_int"]) for r in top_rows]
+        id2name = {
+            int(r["doc_int"]): r["doc_id"]
+            for r in ix.docmap()
+            .where(F.col("doc_int").isin(ids))
+            .select("doc_int", "doc_id")
+            .collect()
+        }
     out = sorted(
         ((id2name[int(r["doc_int"])], float(r["score_raw"])) for r in top_rows),
         key=lambda x: (-x[1], x[0]),

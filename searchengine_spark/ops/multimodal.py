@@ -30,12 +30,13 @@ def decode_image(payload: bytes):  # pragma: no cover - integration stub
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct (the
     multimodal table shape: payload is e.g. jpeg/wav bytes in prod)."""
+    size = F.col("n_chars") if "n_chars" in docs.columns else F.length("text")
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
             F.lit("text/fake").alias("mime"),
-            F.col("n_chars").alias("orig_size"),
+            size.alias("orig_size"),
         ).alias("meta"),
     )
 
@@ -67,3 +68,52 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     bounded even with large payloads.
     """
     return multimodal.select("doc_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, thumb BINARY, w INT, h INT"
+
+
+def resize_thumbnails(multimodal: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Stubbed resize: in prod the batch body decodes + downsamples via
+    PIL/libvips; the deterministic fake truncates the payload and derives
+    dims from it. Plan shape (binary in → smaller binary out, partition-
+    preserving, Arrow-batched) is the real one."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(lambda b: bytes(b)[:max_bytes])
+            n = thumbs.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "w": (n % 16 + 1).astype("int32"),
+                    "h": (n // 16 % 16 + 1).astype("int32"),
+                }
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY"
+
+
+def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Stubbed video frame sampling: emits ``n_frames`` evenly-spaced
+    payload slices per doc as (doc_id, frame_idx, frame) rows — the
+    1→N row fan-out shape of real ffmpeg keyframe extraction, with
+    deterministic fake frame bytes."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(b[i * step : i * step + step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": blobs})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)

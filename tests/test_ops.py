@@ -148,3 +148,21 @@ def test_multimodal_plumbing(spark):
 def test_decode_stub():
     with pytest.raises(NotImplementedError):
         OM.decode_image(b"\xff\xd8\xff")
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    from searchengine_spark.ops import multimodal as OM
+
+    mm = OM.with_binary_payload(docs)
+    t = {r["doc_id"]: r for r in OM.resize_thumbnails(mm, max_bytes=8).collect()}
+    src = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}
+    for did, row in t.items():
+        assert bytes(row["thumb"]) == src[did][:8]
+    f = OM.sample_frames(mm, n_frames=4).collect()
+    per_doc = {}
+    for r in f:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rows in per_doc.items():
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda x: x["frame_idx"])] == [0, 1, 2, 3]
+        step = max(len(src[did]) // 4, 1)
+        assert bytes(sorted(rows, key=lambda x: x["frame_idx"])[0]["frame"]) == src[did][:step]
