@@ -400,8 +400,16 @@ def build_index(
         segs = part.groupBy("bucket", "seg").applyInPandas(encoder, SEGMENT_SCHEMA).observe(
             obs, F.count(F.lit(1)).alias("segments"), F.sum("n").alias("postings")
         )
-        mode = "overwrite" if bucket_jobs == 1 else "append"
-        segs.write.mode(mode).partitionBy("bucket").parquet(postings_dir)
+        if bucket_jobs == 1:
+            segs.write.mode("overwrite").partitionBy("bucket").parquet(postings_dir)
+        else:
+            # dynamic partition overwrite replaces ONLY this group's
+            # bucket dirs — idempotent, so a group that crashed after
+            # its write but before its ledger commit re-runs cleanly on
+            # resume instead of appending duplicates
+            segs.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("bucket").parquet(postings_dir)
         dt = time.perf_counter() - t0
         got = obs.get
         seg_rows, post_n = got["segments"], got["postings"]

@@ -146,3 +146,46 @@ def test_search_many_matches_singles(spark, ix):
         by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
     for qid, terms in batch.items():
         assert by_q.get(qid, []) == _pairs(search_index(ix, terms)), qid
+
+
+def test_build_resumable_bucket_jobs(spark, transcripts, tmp_path, monkeypatch):
+    """Crash between a postings group's write and its ledger commit,
+    then resume: the re-run must overwrite (not duplicate) that group's
+    buckets and finish the remaining groups."""
+    cat = IndexCatalog(str(tmp_path / "resume_bj"))
+    real_commit = B.Ledger.commit
+
+    def exploding_commit(self, stage, **m):
+        if stage == "postings-2":
+            raise RuntimeError("injected failure after group write")
+        return real_commit(self, stage, **m)
+
+    monkeypatch.setattr(B.Ledger, "commit", exploding_commit)
+    with pytest.raises(RuntimeError):
+        build_index(spark, transcripts, cat, n_buckets=8, bucket_jobs=4)
+    monkeypatch.setattr(B.Ledger, "commit", real_commit)
+
+    sid = cat.next_id()
+    led = B.Ledger(cat.staging_dir(sid)).entries()
+    assert led["postings-0"]["status"] == "done"
+    assert led["postings-1"]["status"] == "done"
+    assert "postings-2" not in led
+
+    snap = build_index(spark, transcripts, cat, n_buckets=8, bucket_jobs=4, snap_id=sid)
+    assert snap.manifest["ledger"]["postings-0"]["ts"] == led["postings-0"]["ts"]
+    ixr = open_index(spark, cat)
+    # total postings == token count (no duplicated groups)
+    from pyspark.sql import functions as F
+
+    total = ixr.postings().agg(F.sum("n")).collect()[0][0]
+    from searchengine_spark.query.bm25 import tokenized
+
+    expected = (
+        tokenized(transcripts)
+        .select(F.explode("tokens").alias("t"), "doc_id")
+        .select("doc_id", "t")
+        .distinct()
+        .count()
+    )
+    assert total == expected
+    assert _pairs(search_index(ixr, ["spark"])) == _pairs(search_direct(transcripts, ["spark"]))
