@@ -93,6 +93,9 @@ def _query_p95(spark, sf_dir: str, reps: int = 10) -> dict:
     ix.postings().cache().count()
     ix.terms().cache().count()
     ix.docmap().cache().count()
+    ix.term_dict()
+    ix.doc_names()
+    search_index(ix, Q_SINGLE).collect()  # spin up python workers once
 
     classes: dict[str, list[str]] = {
         "single": Q_SINGLE,

@@ -63,6 +63,36 @@ def message_schema() -> str:
     return f"seq LONG, doc_id STRING, delete BOOLEAN, doc STRUCT<{DOC_FIELDS}>"
 
 
+def parse_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-shaped frames → typed messages: a binary ``value`` column
+    of JSON bytes becomes the ``message_schema()`` columns. This is the
+    transform between ``spark.readStream.format("kafka")`` and
+    :meth:`StreamingIndex.apply_batch`; the file source used in tests
+    skips it only because the JSON reader applies the schema directly.
+    Kafka partition offsets should be projected into ``seq`` upstream
+    when the producer does not set it (reference delivery semantics:
+    at-least-once, arrival order — ``internal/subscriber/subscriber.go``).
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), message_schema()).alias("m")
+    )
+    return parsed.select("m.seq", "m.doc_id", "m.delete", "m.doc")
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """Production stream source (S10): requires the spark-sql-kafka
+    package on the classpath (not present in this sandbox — the file
+    source in :meth:`StreamingIndex.ingest_files` is the tested
+    stand-in carrying identical messages)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return parse_messages(raw.withColumn("value", F.col("value")))
+
+
 class StreamingIndex:
     """One streamed logical index: base snapshot + ordered delta log.
 

@@ -182,3 +182,15 @@ def test_second_stream_after_compact(sidx):
     sidx.ingest_files(SRC)
     ids = [r["doc_id"] for r in sidx.search(["zebrafresh"]).collect()]
     assert "zstream:0003" in ids
+
+
+def test_parse_messages_kafka_shape(spark):
+    """The Kafka value-bytes → typed message transform (S9/S10) on a
+    static frame (the streaming plan uses the identical expression)."""
+    from searchengine_spark.streaming.ingest import parse_messages
+
+    m = _msg(7, "kx", 0, "kafka carried text")
+    raw = spark.createDataFrame([(json.dumps(m).encode("utf-8"),)], "value BINARY")
+    row = parse_messages(raw).collect()[0]
+    assert row["seq"] == 7 and row["doc_id"] == "kx:0000" and not row["delete"]
+    assert row["doc"]["text"] == "kafka carried text" and row["doc"]["turn_idx"] == 0
