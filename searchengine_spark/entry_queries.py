@@ -486,6 +486,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     return OA.lsh_topk(_embeddings(spark, sf_dir), query_vec_id=0)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (rows-only check: centroid assignment is numpy-seeded,
+    not SQL-expressible; exactness vs brute force when probing all
+    lists is pinned by tests/test_ops.py::test_ivf_structure_and_recall)."""
+    return OA.ivf_topk(_embeddings(spark, sf_dir), query_vec_id=0)
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     return OA.cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.45)
 
@@ -728,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup_pairs": q_emb_neardup_pairs,
     }
 

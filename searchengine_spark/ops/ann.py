@@ -88,6 +88,79 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10, bits: int = LSH_BIT
     )
 
 
+IVF_LISTS = 16      # inverted lists (centroids)
+IVF_PROBES = 4      # lists probed per query
+IVF_SEED = 42
+
+
+def _ivf_centroids(dim: int, n_lists: int = IVF_LISTS, seed: int = IVF_SEED):
+    """Deterministic unit-norm centroids (seeded Gaussian). A trained
+    k-means would replace this at deployment; the index STRUCTURE —
+    assignment, list pruning, probe/rerank — is identical either way,
+    and determinism is what makes the operator testable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(emb: DataFrame, n_lists: int = IVF_LISTS) -> DataFrame:
+    """(vec_id, emb, list_id): each vector goes to its nearest centroid
+    (cosine argmax via one Arrow GEMM per batch). At scale the table is
+    written partitioned by list_id so a probe scans only its lists."""
+    import numpy as np
+    import pandas as pd
+
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    dim = len(e.select("emb").first()["emb"])
+    cents = _ivf_centroids(dim, n_lists)
+    sc = e.sparkSession.sparkContext
+    b_c = sc.broadcast(cents)
+
+    def assign(batches):
+        for pdf in batches:
+            q = np.array(list(pdf["emb"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            lists = np.argmax(qn @ b_c.value.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "emb": pdf["emb"], "list_id": lists.astype(np.int32)}
+            )
+
+    return e.mapInPandas(assign, "vec_id LONG, emb ARRAY<DOUBLE>, list_id INT")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    n_lists: int = IVF_LISTS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probes`` centroids nearest the
+    query, exact cosine rerank inside the probed lists only (≈
+    n_probes/n_lists of the table scanned; recall loss is the
+    deterministic ANN trade, bounded by the probe count)."""
+    import numpy as np
+
+    assigned = ivf_assign(emb, n_lists)
+    qrow = assigned.where(F.col("vec_id") == query_vec_id).first()
+    qv = np.array(qrow["emb"], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    cents = _ivf_centroids(len(qv), n_lists)
+    probes = [int(i) for i in np.argsort(-(cents @ qn))[:n_probes]]
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["emb"]])
+    return (
+        assigned.where(F.col("list_id").isin(probes))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cosine(F.col("emb"), qlit).alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"))
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame, *, threshold: float = 0.45, bits: int = 0
 ) -> DataFrame:

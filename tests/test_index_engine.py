@@ -189,3 +189,16 @@ def test_build_resumable_bucket_jobs(spark, transcripts, tmp_path, monkeypatch):
     )
     assert total == expected
     assert _pairs(search_index(ixr, ["spark"])) == _pairs(search_direct(transcripts, ["spark"]))
+
+
+def test_large_corpus_fallback_paths(spark, transcripts, ix, monkeypatch):
+    """Above the driver-cache gates (web-scale vocab/corpus) lookups go
+    through distributed point-reads — results must be identical."""
+    import searchengine_spark.index.engine as E
+
+    monkeypatch.setattr(E, "TERM_CACHE_MAX", 0)
+    monkeypatch.setattr(E, "DOC_NAME_CACHE_MAX", 0)
+    ix2 = E.IndexHandle(spark, ix.snapshot)  # fresh handle, no caches
+    terms = ["query", "plan", "shuffle"]
+    assert _pairs(E.search_index(ix2, terms)) == _pairs(search_direct(transcripts, terms))
+    assert E.expand_fuzzy(ix2, "serach")  # distributed fuzzy scan path
