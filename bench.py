@@ -140,11 +140,15 @@ def _scaling() -> dict | None:
     # dominates local-mode fixed overheads (BENCH.md §3); the first run
     # generates+caches the corpus under data/transcripts/sf8
     sf = os.environ.get("SENG_SCALING_SF", "8")
-    reps = int(os.environ.get("SENG_SCALING_REPS", "1"))
+    # best-of-3 interleaved is the official protocol (BENCH.md §3): the
+    # shared-VM host shows ±20-50% run-to-run noise, and a single rep
+    # regularly lands a contended sample on one side of the pair
+    reps = int(os.environ.get("SENG_SCALING_REPS", "3"))
     best: dict[int, dict] = {}
     try:
         for _ in range(reps):
             for cpus in pair:
+                os.sync()  # drain dirty-page writeback from the previous run
                 out = subprocess.run(
                     [sys.executable, os.path.join(REPO, "scripts", "build_once.py"), str(cpus), sf],
                     capture_output=True, text=True, timeout=1800, check=True,

@@ -36,18 +36,28 @@ from .index.engine import IndexHandle, expand_query, search_index
 from .validate import ValidationError, validate_sort_field
 
 
-def _hydrate(ix: IndexHandle, hits: DataFrame, docs: DataFrame | None) -> DataFrame:
+def _hydrate(
+    ix: IndexHandle, hits: DataFrame, docs: DataFrame | None, order: list | None = None
+) -> DataFrame:
     """Attach stored fields to (doc_id, score) hits — the broadcast side
-    is the ≤k hit set, never the corpus."""
+    is the ≤k hit set, never the corpus. Rank order (R2/R4) is the API
+    contract, so the score / sort key is carried through the join and
+    the output is re-sorted: the corpus-side join otherwise emits hits
+    in arbitrary partition order."""
     if docs is not None:
         payload = docs.select(
             doc_id_col().alias("doc_id"), "conv_id", "turn_idx", "role", "tool", "ts", "text"
         )
     else:
         payload = ix.docmap().select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts")
-    return payload.join(F.broadcast(hits), "doc_id").select(hits["*"], *[
-        c for c in payload.columns if c != "doc_id"
-    ])
+    out = payload.join(F.broadcast(hits), "doc_id").select(
+        hits["*"], *[c for c in payload.columns if c != "doc_id" and c not in hits.columns]
+    )
+    if order is None:
+        order = (
+            [F.desc("score"), F.asc("doc_id")] if "score" in hits.columns else [F.asc("doc_id")]
+        )
+    return out.orderBy(*order)
 
 
 def advanced_search(
@@ -102,7 +112,10 @@ def advanced_search(
         .limit(k)
         .select("doc_id", sort_field)
     )
-    return _hydrate(ix, hits.select("doc_id"), docs) if docs is not None else hits
+    if docs is not None:
+        # keep the sort key through hydration so rank order (R4) survives
+        return _hydrate(ix, hits, docs, order=[key, F.asc("doc_id")])
+    return hits
 
 
 def simple_search(

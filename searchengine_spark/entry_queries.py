@@ -216,8 +216,10 @@ def q_term_df_top(spark, sf_dir):
 
 def q_doclen_by_role(spark, sf_dir):
     tok = tokenized(load_transcripts(spark, sf_dir))
-    return tok.groupBy("role").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    return (
+        tok.groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .orderBy("role")
     )
 
 
@@ -811,7 +813,8 @@ SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 50
 """,
         "doclen_by_role": f"""{_tok_cte(path)}
-SELECT role, count(*) AS n_docs, sum(dl) AS sum_dl FROM dl GROUP BY role
+SELECT role, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+FROM dl GROUP BY role ORDER BY role
 """,
         "scan_stable_order": f"""
 SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
@@ -862,9 +865,11 @@ LIMIT 10
             f"{qid} AS ({_bm25_sql(path, lit(ts))})" for qid, ts in BATCH_QUERIES.items()
         )
         + "\n"
+        + "SELECT * FROM (\n"
         + "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS qid, doc_id, score FROM {qid}" for qid in BATCH_QUERIES
-        ),
+        )
+        + "\n) ORDER BY qid, score DESC, doc_id",
         # the stream demo compacts to a plain parquet corpus; BM25 over it
         # must equal the streamed+compacted index's answer exactly
         "stream_upsert_search": _bm25_sql(

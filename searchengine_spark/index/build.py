@@ -74,7 +74,12 @@ SEGMENT_SCHEMA = T.StructType(
 # --------------------------------------------------------------------------
 
 class Ledger:
-    """Append-only JSONL of stage commits inside the staging dir."""
+    """Append-only JSONL of stage commits inside the staging dir.
+
+    Commits may arrive from concurrent driver threads (the docmap stage
+    overlaps tf/postings), so appends are serialized with a lock."""
+
+    _lock = __import__("threading").Lock()
 
     def __init__(self, stage_dir: str):
         self.path = os.path.join(stage_dir, "ledger.jsonl")
@@ -95,7 +100,7 @@ class Ledger:
 
     def commit(self, stage: str, **metrics) -> None:
         e = {"stage": stage, "status": "done", "ts": time.time(), **metrics}
-        with open(self.path, "a") as f:
+        with Ledger._lock, open(self.path, "a") as f:
             f.write(json.dumps(e) + "\n")
 
 
@@ -144,12 +149,17 @@ def _ranked_within_partitions(transcripts: DataFrame, num_partitions: int | None
     )
 
 
-def partition_offsets(raw_dir: str) -> dict[int, int]:
+def partition_offsets(raw_dir: str, expected_rows: int | None = None) -> dict[int, int]:
     """Exact cumulative offsets for the committed raw data, from parquet
-    footer metadata (driver-side, no Spark job): each write task emits
-    exactly one ``part-<pid>-*`` file, so file row-counts ARE the
-    per-partition counts. At cluster scale this is a listing + footer
-    read per partition — O(partitions), not O(rows)."""
+    footer metadata (driver-side, no Spark job): row counts of every
+    ``part-<pid>-*`` file are SUMMED per write-task pid, so a task that
+    rolls multiple files (maxRecordsPerFile / size rollover) still
+    yields the partition's true count. At cluster scale this is a
+    listing + footer read per file — O(files), not O(rows).
+
+    ``expected_rows`` (the Observation count recorded during the write)
+    guards against a commit-protocol mismatch: any discrepancy would
+    silently corrupt doc_int assignment, so it is a hard error."""
     import re
 
     import pyarrow.parquet as pq
@@ -158,7 +168,16 @@ def partition_offsets(raw_dir: str) -> dict[int, int]:
     for name in os.listdir(raw_dir):
         m = re.match(r"part-(\d+)-", name)
         if m:
-            counts[int(m.group(1))] = pq.ParquetFile(os.path.join(raw_dir, name)).metadata.num_rows
+            pid = int(m.group(1))
+            nrows = pq.ParquetFile(os.path.join(raw_dir, name)).metadata.num_rows
+            counts[pid] = counts.get(pid, 0) + nrows
+    total = sum(counts.values())
+    if expected_rows is not None and total != expected_rows:
+        raise RuntimeError(
+            f"partition_offsets: footer row total {total} != observed "
+            f"write count {expected_rows} in {raw_dir} — raw commit is "
+            "inconsistent; refusing to assign doc_int offsets"
+        )
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -325,10 +344,11 @@ def build_index(
     # ---- stage: offsets + stats (exact, from the committed data) -----------
     if not ledger.done("stats"):
         t0 = time.perf_counter()
-        offsets = partition_offsets(raw_dir)  # parquet footers, no Spark job
         if observed is None:  # resume path: recompute from committed parquet
             row = raw.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")).collect()[0]
             observed = {"n": row["n"], "sdl": row["sdl"]}
+        # parquet footers, no Spark job; cross-checked vs the write Observation
+        offsets = partition_offsets(raw_dir, expected_rows=int(observed["n"]))
         stats = {
             "n_docs": int(observed["n"]),
             "sum_dl": int(observed["sdl"]),
@@ -347,15 +367,31 @@ def build_index(
     numbered = with_doc_int(raw, offsets)
 
     # ---- stage: docmap (final, token-free doc metadata table) --------------
+    # Runs in a DRIVER THREAD concurrently with tf/postings: docmap is a
+    # leaf output (nothing downstream reads it until publish), so its
+    # tasks fill scheduler gaps — straggler tails and stage barriers —
+    # that would otherwise idle cores between the big jobs. On a real
+    # cluster this is standard multi-job submission from one driver.
+    import threading
+
+    docmap_err: list[BaseException] = []
+    docmap_thread: threading.Thread | None = None
     if not ledger.done("docmap"):
-        t0 = time.perf_counter()
-        numbered.select(
-            "doc_int", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl"
-        ).write.mode("overwrite").parquet(docmap_dir)
-        dt = time.perf_counter() - t0
-        ledger.commit("docmap", rows=stats["n_docs"], seconds=round(dt, 3),
-                      turns_per_sec=round(stats["n_docs"] / dt, 1),
-                      bytes_written=_dir_bytes(docmap_dir))
+        def _docmap_stage() -> None:
+            try:
+                t0 = time.perf_counter()
+                numbered.select(
+                    "doc_int", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl"
+                ).write.mode("overwrite").parquet(docmap_dir)
+                dt = time.perf_counter() - t0
+                ledger.commit("docmap", rows=stats["n_docs"], seconds=round(dt, 3),
+                              turns_per_sec=round(stats["n_docs"] / dt, 1),
+                              bytes_written=_dir_bytes(docmap_dir))
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                docmap_err.append(e)
+
+        docmap_thread = threading.Thread(target=_docmap_stage, name="docmap-stage")
+        docmap_thread.start()
 
     # ---- stage: tf (the resumability checkpoint) ---------------------------
     if not ledger.done("tf"):
@@ -442,6 +478,12 @@ def build_index(
         mean_df = stats["sum_dl"] / max(n_terms, 1)
         ledger.commit("terms", rows=n_terms, seconds=round(time.perf_counter() - t0, 3),
                       max_df=max_df, skew_ratio=round(max_df / max(mean_df, 1e-9), 2))
+
+    # ---- join the overlapped docmap stage before publishing ----------------
+    if docmap_thread is not None:
+        docmap_thread.join()
+        if docmap_err:
+            raise docmap_err[0]
 
     # ---- publish -----------------------------------------------------------
     elapsed = time.perf_counter() - t_start

@@ -57,7 +57,9 @@ def _make_shingles_udf(w: int = SHINGLE_W):
 
     pat = re.compile(S.TOKEN_PATTERN_PY, re.UNICODE)
 
-    def f(t: str) -> list[str]:
+    def f(t) -> list[str]:
+        if not t:  # null/empty text → no shingles (parity with shingles_col)
+            return []
         toks = pat.findall(t.lower())
         if len(toks) < w:
             return []
@@ -156,7 +158,7 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
+    out = (
         cand.withColumn("jaccard_raw", inter / union)
         .where(F.col("jaccard_raw") >= threshold)
         .select(
@@ -166,6 +168,12 @@ def minhash_lsh_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+    # materialize the (small) pair set eagerly so the shingle cache can be
+    # released immediately — a long-lived session (serving driver, bench
+    # loop) must not accumulate cached shingle blocks per call
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out.orderBy("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(
