@@ -485,14 +485,18 @@ def _embeddings(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    return OA.lsh_topk(_embeddings(spark, sf_dir), query_vec_id=0)
+    """Sign-LSH ANN over the MATERIALIZED store: the probe reads only
+    the query's ``bucket=…`` partition directory (built once per sf by
+    :func:`..ops.ann.ensure_ann_store`)."""
+    return OA.lsh_topk_store(spark, OA.ensure_ann_store(spark, sf_dir), query_vec_id=0)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (rows-only check: centroid assignment is numpy-seeded,
-    not SQL-expressible; exactness vs brute force when probing all
-    lists is pinned by tests/test_ops.py::test_ivf_structure_and_recall)."""
-    return OA.ivf_topk(_embeddings(spark, sf_dir), query_vec_id=0)
+    """IVF ANN over the MATERIALIZED store: probes chosen driver-side
+    from the trained centroids (deterministic sample k-means shared
+    with the oracle generator), partition-pruned scan of the probed
+    ``list_id=…`` directories only."""
+    return OA.ivf_topk_store(spark, OA.ensure_ann_store(spark, sf_dir), query_vec_id=0)
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
@@ -681,6 +685,42 @@ q AS (SELECT emb AS qemb, bucket AS qbucket FROM b WHERE vec_id = {qid})
 SELECT vec_id, round({cos}, {S.SCORE_DECIMALS}) AS cos_sim
 FROM b, q WHERE bucket = qbucket AND vec_id <> {qid}
 ORDER BY {cos} DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _sql_ann_ivf_topk(qid: int = 0, k: int = 10) -> str:
+    """IVF oracle: the generator runs the SAME deterministic trainer
+    (:func:`..ops.ann.train_ivf_centroids`) on the same sample (first
+    IVF_SAMPLE vectors by vec_id, float64), computes assignments and
+    probe lists in numpy, and embeds the per-vector (vec_id, list_id)
+    assignment as a VALUES table — the SQL then does the identical
+    probe filter + exact cosine rerank DuckDB-side."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = f"/root/testdata/sf{ORACLE_SF:g}/embeddings.parquet"
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    embs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, embs = ids[order], embs[order]
+    cents = OA.train_ivf_centroids(embs[: OA.IVF_SAMPLE])
+    xn = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cents.T, axis=1)
+    probes = OA._probe_lists(cents, embs[ids == qid][0], OA.IVF_PROBES)
+    values = ", ".join(f"({int(i)}, {int(l)})" for i, l in zip(ids, assign))
+    cos = (
+        "list_dot_product(e.emb, q.qemb)"
+        " / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.qemb, q.qemb)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+a(vec_id, list_id) AS (VALUES {values}),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = {qid})
+SELECT e.vec_id, round({cos}, {S.SCORE_DECIMALS}) AS cos_sim
+FROM e JOIN a ON e.vec_id = a.vec_id, q
+WHERE a.list_id IN ({", ".join(str(p) for p in probes)}) AND e.vec_id <> {qid}
+ORDER BY {cos} DESC, e.vec_id ASC LIMIT {k}
 """
 
 
@@ -903,5 +943,6 @@ SELECT doc_id, frame_idx,
 FROM f ORDER BY doc_id, frame_idx
 """,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "emb_neardup_pairs": _sql_emb_neardup(),
     }

@@ -192,3 +192,54 @@ def test_ivf_structure_and_recall(spark):
     # near-random, so recall is modest by construction)
     approx = [r["vec_id"] for r in OA.ivf_topk(embeddings, 0, k=10).collect()]
     assert len(set(v for v, _ in exact) & set(approx)) >= 2
+
+
+def test_neardup_blocked_gemm_matches_single_tile(spark):
+    """The distributed tile-pair GEMM must be exact: forcing many small
+    tiles yields the identical pair set + sims as one big tile."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    one = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+           for r in OA.cosine_neardup_pairs(e, threshold=0.45, block=100_000).collect()}
+    many = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in OA.cosine_neardup_pairs(e, threshold=0.45, block=64).collect()}
+    assert one == many and len(one) > 0
+
+
+def test_ann_store_matches_direct(spark, tmp_path):
+    """Materialized-store probes (partition-pruned) return exactly what
+    the direct formulations return, and the probe plans actually prune."""
+    sf_dir = "/root/testdata/sf0.01"
+    root = OA.ensure_ann_store(spark, sf_dir, root=str(tmp_path / "ann"))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    direct_lsh = [tuple(r) for r in OA.lsh_topk(e, 0).collect()]
+    store_lsh_df = OA.lsh_topk_store(spark, root, 0)
+    assert [tuple(r) for r in store_lsh_df.collect()] == direct_lsh
+
+    direct_ivf = [tuple(r) for r in OA.ivf_topk(e, 0).collect()]
+    store_ivf_df = OA.ivf_topk_store(spark, root, 0)
+    assert [tuple(r) for r in store_ivf_df.collect()] == direct_ivf
+
+    for df, col in ((store_lsh_df, "bucket"), (store_ivf_df, "list_id")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and col in plan
+
+    # idempotent: second ensure is a no-op returning the same root
+    assert OA.ensure_ann_store(spark, sf_dir, root=root) == root
+
+
+def test_ivf_centroids_trained_and_deterministic():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    sample = rng.standard_normal((300, 16))
+    c1 = OA.train_ivf_centroids(sample)
+    c2 = OA.train_ivf_centroids(sample.copy())
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (OA.IVF_LISTS, 16)
+    # unit-norm rows; trained (moved away from the seeded init)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    rng2 = np.random.default_rng(OA.IVF_SEED)
+    init = rng2.standard_normal((OA.IVF_LISTS, 16))
+    init /= np.linalg.norm(init, axis=1, keepdims=True)
+    assert not np.allclose(c1, init)
