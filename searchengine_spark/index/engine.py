@@ -417,29 +417,46 @@ def search_many(
 def _prune_segments(
     ix: IndexHandle, segs: DataFrame, idfs: dict[str, float], k: int, overfetch: int
 ) -> tuple[DataFrame, float]:
-    """Block-max segment pruning. Metadata-only pass (columns term, seg,
-    n, seg_max_tfnorm — postings bytes never read), driver-side greedy
-    selection, θ from exact scores of the richest segments."""
-    meta = segs.select("term", "seg", "n", "seg_max_tfnorm").collect()
-    if not meta:
+    """Block-max segment pruning, fully distributed metadata pass.
+
+    1. aggregate per-segment ``ub = Σ_t idf_t · seg_max_tfnorm`` and doc
+       count from the metadata columns only (postings bytes never read);
+    2. greedy prefix DISTRIBUTIVELY: a running-count window over
+       ``ub desc`` picks the richest segments until ≥ overfetch·k docs —
+       only those ≤ overfetch·k segment ids reach the driver (the old
+       formulation collected every matching (term, seg) row: O(segments)
+       driver memory, ~1.5 M rows per heavy term at 10^11 docs);
+    3. θ = k-th exact score inside the picked segments;
+    4. survivors (``ub ≥ θ`` ∪ picked) stay a DataFrame, applied via a
+       broadcast semi-join — the driver never materializes the survivor
+       list either.
+
+    The single-partition window in step 2 sorts segment METADATA (~16 B
+    per segment), not postings — cheap at any corpus size."""
+    from pyspark.sql import Window
+
+    idf_map = F.create_map(*[F.lit(v) for t, f in idfs.items() for v in (t, float(f))])
+    seg_meta = (
+        segs.select(
+            "seg", "n", (idf_map[F.col("term")] * F.col("seg_max_tfnorm")).alias("part")
+        )
+        .groupBy("seg")
+        .agg(F.sum("part").alias("ub"), F.sum("n").alias("cnt"))
+    )
+    w = (
+        Window.orderBy(F.desc("ub"), F.asc("seg"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    picked = [
+        int(r["seg"])
+        for r in seg_meta.withColumn("prior", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .where(F.col("prior") < overfetch * k)
+        .select("seg")
+        .collect()
+    ]
+    if not picked:
         return segs, 0.0
-    ub: dict[int, float] = {}
-    cnt: dict[int, int] = {}
-    for r in meta:
-        s = int(r["seg"])
-        ub[s] = ub.get(s, 0.0) + idfs[r["term"]] * float(r["seg_max_tfnorm"])
-        cnt[s] = cnt.get(s, 0) + int(r["n"])
-    ranked = sorted(ub, key=lambda s: -ub[s])
-    picked: list[int] = []
-    total = 0
-    for s in ranked:
-        picked.append(s)
-        total += cnt[s]
-        if total >= overfetch * k:
-            break
-    if len(picked) == len(ranked):
-        return segs, 0.0  # nothing prunable
-    head = segs.where(F.col("seg").isin([int(s) for s in picked]))
+    head = segs.where(F.col("seg").isin(picked))
     exact = (
         head.select("term", "postings", "block_max_tfnorm")
         .mapInPandas(_make_scorer(idfs, ix.stats["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
@@ -452,7 +469,8 @@ def _prune_segments(
     if len(exact) < k:
         return segs, 0.0  # not enough candidates to establish a safe θ
     theta = float(exact[-1]["sc"])
-    chosen = set(picked)
     # keep ties: a pruned doc scoring exactly θ could win the doc_id tie-break
-    survivors = [int(s) for s in ranked if ub[s] >= theta or s in chosen]
-    return segs.where(F.col("seg").isin(survivors)), theta
+    survivors = seg_meta.where(
+        (F.col("ub") >= theta) | F.col("seg").isin(picked)
+    ).select("seg")
+    return segs.join(F.broadcast(survivors), "seg", "left_semi"), theta
