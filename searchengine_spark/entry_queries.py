@@ -48,14 +48,33 @@ def _terms_sql(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
-def _tok_cte(path: str) -> str:
-    """Shared CTE prefix: tokenized docs + lengths + corpus stats."""
+def _syn_sql_expand(toks_expr: str) -> str:
+    """Wrap a DuckDB token-array expression with index-time synonym
+    expansion: each group token becomes the full group (group order)."""
+    expr = toks_expr
+    for group in S.SYNONYM_GROUPS:
+        lits = ", ".join(f"'{g}'" for g in group)
+        expr = (
+            f"flatten(list_transform({expr}, "
+            f"x -> CASE WHEN x IN ({lits}) THEN [{lits}] ELSE [x] END))"
+        )
+    return expr
+
+
+def _tok_cte(path: str, synonyms: bool = False) -> str:
+    """Shared CTE prefix: tokenized docs + lengths + corpus stats.
+    ``synonyms=True`` mirrors the index-time synonym installation."""
+    toks = (
+        f"list_filter(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+'),\n"
+        f"                     x -> x NOT IN ({_stop_sql()}))"
+    )
+    if synonyms:
+        toks = _syn_sql_expand(toks)
     return f"""
 WITH t AS (
   SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
          role, tool, ts,
-         list_filter(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+'),
-                     x -> x NOT IN ({_stop_sql()})) AS toks
+         {toks} AS toks
   FROM read_parquet('{path}')
 ),
 dl AS (SELECT doc_id, role, tool, ts, len(toks) AS dl FROM t),
@@ -65,9 +84,11 @@ tok AS (SELECT doc_id, unnest(toks) AS term FROM t)
 """
 
 
-def _bm25_sql(path: str, terms_expr: str, where: str = "", having: str = "") -> str:
+def _bm25_sql(
+    path: str, terms_expr: str, where: str = "", having: str = "", synonyms: bool = False
+) -> str:
     """terms_expr: SQL producing qt(term) rows (the distinct query terms)."""
-    return f"""{_tok_cte(path)},
+    return f"""{_tok_cte(path, synonyms)},
 qt AS ({terms_expr}),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -325,6 +346,31 @@ def ensure_index(spark, sf_dir: str):
     if cat.current() is None:
         build_index(spark, load_transcripts(spark, sf_dir), cat)
     return open_index(spark, cat)
+
+
+def ensure_syn_index(spark, sf_dir):
+    """A second, synonym-installed snapshot (S7 index-time semantics):
+    built with build_index(synonyms=True) under its own catalog root."""
+    from .index.build import build_index
+    from .index.catalog import IndexCatalog
+    from .index.engine import open_index
+
+    sf = sf_from_dir(sf_dir)
+    cat = IndexCatalog(f"/root/repo/data/index_syn/sf{sf:g}")
+    if cat.current() is None:
+        build_index(spark, load_transcripts(spark, sf_dir), cat, synonyms=True)
+    return open_index(spark, cat)
+
+
+def q_bm25_synonym_indexed(spark, sf_dir):
+    """S7 full fidelity: the synonym group is installed at INDEX time
+    (reference ReindexBleve), so a plain single-term query for one
+    group member matches every doc containing any member — with the
+    df/idf shift that index-time expansion implies. No query-time
+    expansion involved."""
+    from .index.engine import search_index
+
+    return search_index(ensure_syn_index(spark, sf_dir), [S.SYNONYM_GROUPS[0][0]])
 
 
 BATCH_QUERIES = {"qa": Q_SINGLE, "qb": Q_MULTI, "qc": Q_HEAVY}
@@ -749,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_heavy": q_bm25_heavy,
         "bm25_filtered": q_bm25_filtered,
         "bm25_synonym": q_bm25_synonym,
+        "bm25_synonym_indexed": q_bm25_synonym_indexed,
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_and": q_bm25_and,
         "bm25_indexed_and": q_bm25_indexed_and,
@@ -793,6 +840,11 @@ def oracle_sql() -> dict[str, str]:
             path, lit(Q_FILTERED), where="WHERE dl.role = 'assistant' AND dl.tool = 'search'"
         ),
         "bm25_synonym": _bm25_sql(path, lit(Q_SYNONYM)),
+        # index-time expansion: single-member query over the synonym-
+        # expanded tokenization (df/idf include the whole group)
+        "bm25_synonym_indexed": _bm25_sql(
+            path, lit([S.SYNONYM_GROUPS[0][0]]), synonyms=True
+        ),
         "bm25_fuzzy": _bm25_sql(
             path,
             f"SELECT DISTINCT term FROM tok WHERE levenshtein(term, '{FUZZY_SOURCE}') <= 1",

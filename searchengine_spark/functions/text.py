@@ -35,6 +35,31 @@ def tokens_no_stop(text: Column | str) -> Column:
     return F.filter(tokenize_col(text), lambda t: ~F.array_contains(stop, t))
 
 
+def expand_synonyms_col(tokens: Column) -> Column:
+    """Index-time synonym installation (S7): every token belonging to a
+    synonym group is replaced by the FULL group in group order —
+    mirroring the reference's reindex-with-synonym-source semantics
+    (`internal/index/index.go:190-224`), where the synonym source is
+    baked into the analyzer at rebuild so group members share postings
+    (df/idf shift accordingly). dl counts the expanded tokens.
+
+    Gated behind ``arrays_overlap`` with the (tiny, literal) synonym
+    vocabulary so the common no-synonym row keeps its original array
+    untouched — the per-token transform only runs on matching rows."""
+    all_syn = sorted({t for g in S.SYNONYM_GROUPS for t in g})
+
+    def _expand(t: Column) -> Column:
+        expr = F.array(t)
+        for group in S.SYNONYM_GROUPS:
+            expr = F.when(t.isin(list(group)), F.array(*[F.lit(g) for g in group])).otherwise(expr)
+        return expr
+
+    return F.when(
+        F.arrays_overlap(tokens, F.lit(all_syn)),
+        F.flatten(F.transform(tokens, _expand)),
+    ).otherwise(tokens)
+
+
 def doc_id_col(conv_id: Column | str = "conv_id", turn_idx: Column | str = "turn_idx") -> Column:
     """doc_id = conv_id:%04d(turn_idx) — string order == (conv_id, turn_idx)
     order, the stable-ordering invariant of BASELINE.json input_hint."""

@@ -108,7 +108,9 @@ class Ledger:
 # stage 1: deterministic dense doc numbering (scalable zipWithIndex)
 # --------------------------------------------------------------------------
 
-def _ranked_within_partitions(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def _ranked_within_partitions(
+    transcripts: DataFrame, num_partitions: int | None = None, *, synonyms: bool = False
+) -> DataFrame:
     """Range-partition by doc_id, sort within partitions, tokenize, and
     stamp each row with ``(_pid, _rank)`` — its partition and 0-based
     rank inside it.
@@ -128,16 +130,19 @@ def _ranked_within_partitions(transcripts: DataFrame, num_partitions: int | None
     expensive analysis happens exactly once, in the partition-parallel
     stage that also sorts and writes.
     """
-    from ..functions.text import doc_id_col, tokens_no_stop
+    from ..functions.text import doc_id_col, expand_synonyms_col, tokens_no_stop
 
     p = num_partitions or int(transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     base = transcripts.select(
         doc_id_col().alias("doc_id"), "conv_id", "turn_idx", "role", "tool", "ts", "text"
     )
+    toks = tokens_no_stop("text")
+    if synonyms:  # index-time synonym installation (S7, reference reindex)
+        toks = expand_synonyms_col(toks)
     return (
         base.repartitionByRange(p, "doc_id")
         .sortWithinPartitions("doc_id")
-        .withColumn("tokens", tokens_no_stop("text"))
+        .withColumn("tokens", toks)
         .withColumn("dl", F.size("tokens"))
         .drop("text")
         .withColumn("_pid", F.spark_partition_id())
@@ -302,6 +307,7 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     bucket_jobs: int = 1,
     snap_id: int | None = None,
+    synonyms: bool = False,
 ) -> Snapshot:
     """Build a new index snapshot; resumable via the staging ledger.
 
@@ -309,6 +315,10 @@ def build_index(
     independently-committed jobs (coarser-grained resume, e.g. 4 →
     every quarter of the term space checkpoints separately); 1 = single
     job writing all bucket partitions (fastest wall-clock).
+
+    ``synonyms=True`` installs the synonym groups into the build-side
+    analyzer (index-time expansion, reference ReindexBleve semantics):
+    group members share postings, so df/idf reflect the group union.
     """
     t_start = time.perf_counter()
     snap_id = snap_id if snap_id is not None else catalog.next_id()
@@ -329,7 +339,7 @@ def build_index(
 
         t0 = time.perf_counter()
         obs = Observation("docmap_raw_stats")
-        ranked = _ranked_within_partitions(transcripts).observe(
+        ranked = _ranked_within_partitions(transcripts, synonyms=synonyms).observe(
             obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
         )
         ranked.select(
@@ -489,6 +499,7 @@ def build_index(
     elapsed = time.perf_counter() - t_start
     manifest = {
         "stats": stats,
+        "synonyms": synonyms,
         "n_buckets": n_buckets,
         "seg_span": SEG_SPAN,
         "block": BLOCK,

@@ -202,3 +202,36 @@ def test_large_corpus_fallback_paths(spark, transcripts, ix, monkeypatch):
     terms = ["query", "plan", "shuffle"]
     assert _pairs(E.search_index(ix2, terms)) == _pairs(search_direct(transcripts, terms))
     assert E.expand_fuzzy(ix2, "serach")  # distributed fuzzy scan path
+
+
+def test_index_time_synonyms_df_shift(spark, transcripts, ix, tmp_path_factory):
+    """synonyms=True installs the group into the build analyzer: every
+    group member's df becomes the group-union df, and a single-member
+    query matches all docs containing any member (S7 reference
+    ReindexBleve semantics)."""
+    import searchengine_spark.semantics as S
+    from searchengine_spark.functions.text import tokens_no_stop
+    from searchengine_spark.index.engine import term_meta
+
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("index_syn") / "t"))
+    snap = build_index(spark, transcripts, cat, n_buckets=8, synonyms=True)
+    assert snap.manifest["synonyms"] is True
+    ixs = open_index(spark, cat)
+    group = list(S.SYNONYM_GROUPS[0])
+
+    dfs = {t: m[0] for t, m in term_meta(ixs, group).items()}
+    assert set(dfs) == set(group)
+    n_union = transcripts.where(
+        F.arrays_overlap(tokens_no_stop("text"), F.lit(group))
+    ).count()
+    assert n_union > 0 and all(d == n_union for d in dfs.values())
+    # the plain index keeps per-member dfs strictly below the union
+    plain_dfs = {t: m[0] for t, m in term_meta(ix, group).items()}
+    assert any(plain_dfs[t] < n_union for t in plain_dfs)
+
+    # single-member query on the synonym index hits the same doc set as
+    # query-time group expansion on the plain index (scores shift with
+    # df/dl, membership must not)
+    syn_hits = {r["doc_id"] for r in search_index(ixs, [group[0]], k=n_union).collect()}
+    plain_hits = {r["doc_id"] for r in search_index(ix, group, k=n_union).collect()}
+    assert syn_hits == plain_hits
