@@ -60,6 +60,10 @@ def _hydrate(
     return out.orderBy(*order)
 
 
+from .metrics import timed
+
+
+@timed("AdvancedSearch")
 def advanced_search(
     ix: IndexHandle,
     query: str,
@@ -118,6 +122,7 @@ def advanced_search(
     return hits
 
 
+@timed("SimpleSearch")
 def simple_search(
     ix: IndexHandle,
     query: str,

@@ -373,6 +373,26 @@ def q_bm25_synonym_indexed(spark, sf_dir):
     return search_index(ensure_syn_index(spark, sf_dir), [S.SYNONYM_GROUPS[0][0]])
 
 
+def q_ops_metrics(spark, sf_dir):
+    """G5 query-path metrics (reference internal/metrics/metrics.go:
+    http_requests_total / http_request_duration_seconds analogues):
+    after a fixed batch of serving calls, the registry's deterministic
+    view — counter values and histogram observation counts. Durations
+    are recorded too (full Prometheus-style buckets, unit-tested) but
+    are wall-clock and so not oracle-comparable."""
+    from .index.engine import search_index
+    from .metrics import REGISTRY
+
+    ix = ensure_index(spark, sf_dir)
+    REGISTRY.reset()
+    for terms in (Q_SINGLE, Q_MULTI, Q_HEAVY):
+        search_index(ix, terms).collect()
+    rows = REGISTRY.count_rows()
+    return spark.createDataFrame(rows, "metric STRING, handler STRING, n LONG").orderBy(
+        "metric", "handler"
+    )
+
+
 BATCH_QUERIES = {"qa": Q_SINGLE, "qb": Q_MULTI, "qc": Q_HEAVY}
 
 
@@ -826,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "ops_metrics": q_ops_metrics,
     }
 
 
@@ -997,4 +1018,12 @@ FROM f ORDER BY doc_id, frame_idx
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "emb_neardup_pairs": _sql_emb_neardup(),
+        # the registry's deterministic view after exactly 3 ok calls of
+        # the search_index surface (see q_ops_metrics)
+        "ops_metrics": """
+SELECT * FROM (VALUES
+  ('search_duration_seconds_count', 'search_index', CAST(3 AS BIGINT)),
+  ('search_requests_total', 'search_index', CAST(3 AS BIGINT))
+) AS t(metric, handler, n) ORDER BY metric, handler
+""",
     }

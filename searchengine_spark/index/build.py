@@ -296,6 +296,121 @@ def _dir_bytes(path: str) -> int:
 
 
 # --------------------------------------------------------------------------
+# per-task lineage (north_star: "lineage and metrics … recorded per task")
+# --------------------------------------------------------------------------
+
+TASK_ROWS_CAP = 512  # per-task rows kept per stage; aggregates always kept
+
+
+def _set_stage_group(spark, stage: str) -> None:
+    """Tag all jobs of a build stage with a job group so the event-log
+    parser can attribute their tasks. Thread-local (PySpark pinned
+    threads), so the overlapped docmap stage tags independently."""
+    spark.sparkContext.setJobGroup(f"seng:{stage}", f"searchengine build stage {stage}")
+
+
+def _collect_task_metrics(spark, prefix: str = "seng:") -> dict[str, dict]:
+    """Parse this application's Spark event log into per-stage task
+    rows + aggregates: duration, executor run time, records read,
+    shuffle read/write bytes, output bytes, skew ratio. Returns {} when
+    event logging is off (the build still records per-stage metrics).
+
+    O(events) driver work on a local JSON file — the same parse a
+    history server does; at cluster scale this reads the log from the
+    shared event-log dir after the job."""
+    sc = spark.sparkContext
+    conf = sc.getConf()
+    if conf.get("spark.eventLog.enabled", "false") != "true":
+        return {}
+    d = conf.get("spark.eventLog.dir", "")
+    if d.startswith("file:"):
+        d = d[len("file:"):]
+    if not d:
+        return {}
+    # a JobEnd event flushes the log writer — run one tiny tagged job so
+    # everything up to here is on disk before we read it
+    _set_stage_group(spark, "_flush")
+    spark.range(1).count()
+    sc.setLocalProperty("spark.jobGroup.id", None)
+
+    import glob
+
+    app = sc.applicationId
+    # single-file layout: <dir>/<appId>[.inprogress]; rolling v2 layout
+    # (Spark 4 default): <dir>/eventlog_v2_<appId>/events_<n>_<appId>
+    paths = sorted(
+        p
+        for p in glob.glob(os.path.join(d, app + "*"))
+        + glob.glob(os.path.join(d, f"eventlog_v2_{app}", "events_*"))
+        if os.path.isfile(p)
+    )
+    def _events():
+        for path in paths:
+            try:
+                with open(path) as f:
+                    for line in f:
+                        try:
+                            yield json.loads(line)
+                        except ValueError:
+                            continue  # partially-written tail line
+            except OSError:
+                continue
+
+    # two passes: JobStart→stage mapping first (rolling files don't
+    # guarantee a TaskEnd lands in the same file as its JobStart)
+    stage2group: dict[int, str] = {}
+    for e in _events():
+        if e.get("Event") == "SparkListenerJobStart":
+            g = (e.get("Properties") or {}).get("spark.jobGroup.id") or ""
+            if g.startswith(prefix) and not g.startswith(prefix + "_"):
+                for si in e.get("Stage Infos", []):
+                    stage2group[int(si["Stage ID"])] = g[len(prefix):]
+    groups: dict[str, list[dict]] = {}
+    for e in _events():
+        if e.get("Event") != "SparkListenerTaskEnd":
+            continue
+        g = stage2group.get(int(e.get("Stage ID", -1)))
+        if g is None:
+            continue
+        ti = e.get("Task Info") or {}
+        tm = e.get("Task Metrics") or {}
+        sr = tm.get("Shuffle Read Metrics") or {}
+        groups.setdefault(g, []).append(
+            {
+                "task_id": ti.get("Task ID"),
+                "stage_id": int(e.get("Stage ID", -1)),
+                "duration_ms": int(ti.get("Finish Time", 0)) - int(ti.get("Launch Time", 0)),
+                "run_ms": tm.get("Executor Run Time", 0),
+                "records_read": (tm.get("Input Metrics") or {}).get("Records Read", 0),
+                "shuffle_read_bytes": int(sr.get("Remote Bytes Read", 0))
+                + int(sr.get("Local Bytes Read", 0)),
+                "shuffle_write_bytes": (tm.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0
+                ),
+                "bytes_written": (tm.get("Output Metrics") or {}).get("Bytes Written", 0),
+                "failed": bool(ti.get("Failed", False)),
+            }
+        )
+    out: dict[str, dict] = {}
+    for g, tasks in groups.items():
+        durs = sorted(t["duration_ms"] for t in tasks)
+        mean = sum(durs) / len(durs)
+        out[g] = {
+            "n_tasks": len(tasks),
+            "task_ms_p50": durs[len(durs) // 2],
+            "task_ms_max": durs[-1],
+            "task_skew": round(durs[-1] / max(mean, 1e-9), 2),
+            "records_read": sum(t["records_read"] for t in tasks),
+            "shuffle_read_bytes": sum(t["shuffle_read_bytes"] for t in tasks),
+            "shuffle_write_bytes": sum(t["shuffle_write_bytes"] for t in tasks),
+            "bytes_written": sum(t["bytes_written"] for t in tasks),
+            "n_failed": sum(1 for t in tasks if t["failed"]),
+            "tasks": tasks[:TASK_ROWS_CAP],
+        }
+    return out
+
+
+# --------------------------------------------------------------------------
 # the build job
 # --------------------------------------------------------------------------
 
@@ -337,6 +452,7 @@ def build_index(
     if not ledger.done("docmap_raw"):
         from pyspark.sql import Observation
 
+        _set_stage_group(spark, "docmap_raw")
         t0 = time.perf_counter()
         obs = Observation("docmap_raw_stats")
         ranked = _ranked_within_partitions(transcripts, synonyms=synonyms).observe(
@@ -389,6 +505,7 @@ def build_index(
     if not ledger.done("docmap"):
         def _docmap_stage() -> None:
             try:
+                _set_stage_group(spark, "docmap")
                 t0 = time.perf_counter()
                 numbered.select(
                     "doc_int", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl"
@@ -407,6 +524,7 @@ def build_index(
     if not ledger.done("tf"):
         from pyspark.sql import Observation
 
+        _set_stage_group(spark, "tf")
         t0 = time.perf_counter()
         obs = Observation("tf_rows")
         tf = (
@@ -440,6 +558,7 @@ def build_index(
             continue
         from pyspark.sql import Observation
 
+        _set_stage_group(spark, stage_name)
         t0 = time.perf_counter()
         part = tf_staged if bucket_jobs == 1 else tf_staged.where(F.col("bucket").isin(buckets))
         obs = Observation(f"postings_{gi}")
@@ -470,6 +589,7 @@ def build_index(
     if not ledger.done("terms"):
         from pyspark.sql import Observation
 
+        _set_stage_group(spark, "terms")
         t0 = time.perf_counter()
         obs = Observation("terms_rows")
         terms = (
@@ -496,11 +616,13 @@ def build_index(
             raise docmap_err[0]
 
     # ---- publish -----------------------------------------------------------
+    task_metrics = _collect_task_metrics(spark)
     elapsed = time.perf_counter() - t_start
     manifest = {
         "stats": stats,
         "synonyms": synonyms,
         "n_buckets": n_buckets,
+        "task_metrics": task_metrics,
         "seg_span": SEG_SPAN,
         "block": BLOCK,
         "k1": S.K1,

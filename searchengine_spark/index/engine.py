@@ -252,6 +252,10 @@ def _buckets_of(ix: IndexHandle, terms: list[str]) -> list[int]:
 PRUNE_MIN_DOCS = 4 * (1 << 16)
 
 
+from ..metrics import timed
+
+
+@timed("search_index")
 def search_index(
     ix: IndexHandle,
     terms: list[str],
@@ -341,6 +345,7 @@ def search_index(
     )
 
 
+@timed("search_many")
 def search_many(
     ix: IndexHandle, queries: dict[str, list[str]], *, k: int = S.TOP_K
 ) -> DataFrame:

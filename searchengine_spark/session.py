@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _prune_old_event_logs(evdir: str, keep: int = 10) -> None:
+    """Drop all but the newest ``keep`` application logs — sessions are
+    frequent here (tests, bench subprocesses) and each writes its own
+    rolling-log dir."""
+    import shutil
+
+    try:
+        entries = sorted(
+            (os.path.join(evdir, n) for n in os.listdir(evdir)),
+            key=lambda p: os.path.getmtime(p),
+        )
+    except OSError:
+        return
+    for p in entries[:-keep] if len(entries) > keep else []:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def get_spark(
     app_name: str = "searchengine-spark",
     master: str | None = None,
@@ -43,6 +60,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # event log ON by default: the build parses it into the snapshot
+    # ledger for literal per-TASK lineage/metrics (north_star). A real
+    # cluster job runs with this on anyway (history server).
+    if os.environ.get("SENG_EVENTLOG", "1") != "0":
+        evdir = os.environ.get("SENG_EVENTLOG_DIR", "/root/repo/data/eventlog")
+        os.makedirs(evdir, exist_ok=True)
+        _prune_old_event_logs(evdir, keep=10)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evdir)
+            # plain JSON (no zstd) so the build's lineage parser can read
+            # the log back without native codecs
+            .config("spark.eventLog.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
