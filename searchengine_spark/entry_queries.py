@@ -373,6 +373,16 @@ def q_bm25_synonym_indexed(spark, sf_dir):
     return search_index(ensure_syn_index(spark, sf_dir), [S.SYNONYM_GROUPS[0][0]])
 
 
+def q_stream_events_rollup(spark, sf_dir):
+    """S9 on driver data: a real Structured Streaming query (file
+    stream standing in for the reference's NATS subject — see
+    streaming/events.py for the production wiring) computing 1-hour
+    event-time windows over /root/testdata/*/events.parquet."""
+    from .streaming.events import events_hourly_rollup
+
+    return events_hourly_rollup(spark, sf_dir)
+
+
 def q_ops_metrics(spark, sf_dir):
     """G5 query-path metrics (reference internal/metrics/metrics.go:
     http_requests_total / http_request_duration_seconds analogues):
@@ -846,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "stream_events_rollup": q_stream_events_rollup,
         "ops_metrics": q_ops_metrics,
     }
 
@@ -1018,6 +1029,12 @@ FROM f ORDER BY doc_id, frame_idx
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "emb_neardup_pairs": _sql_emb_neardup(),
+        # the streaming 1h-window rollup == the batch hour-truncated agg
+        "stream_events_rollup": f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), {S.SCORE_DECIMALS}) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # the registry's deterministic view after exactly 3 ok calls of
         # the search_index surface (see q_ops_metrics)
         "ops_metrics": """

@@ -1,0 +1,120 @@
+"""Event-stream analytics over the driver-provided ``events`` table —
+the second stream fixture (S9) exercised on driver data.
+
+The reference consumes a NATS core subject
+(``internal/subscriber/subscriber.go:38-57``) exactly like its Kafka
+path: a JSON message stream applied in arrival order. Spark has no
+first-party NATS connector, so the production wiring is either
+
+- :func:`nats_source` — a DataSource-V2 NATS connector on the
+  classpath (``format("nats")``), or
+- a NATS→Kafka bridge feeding :func:`..streaming.ingest.kafka_source`.
+
+Both land on the same typed-message frame; the FILE stream used here
+carries identical rows and is what the tests/driver can actually run.
+
+:func:`events_hourly_rollup` runs a real Structured Streaming query
+(``readStream`` → watermark → windowed aggregation → ``availableNow``
+trigger) over ``events.parquet`` staged as a file-stream directory:
+the windows §2.7 + streaming-semantics §2.10 surface on the driver's
+own data, with a plain-SQL oracle (hour-truncated groupBy) that the
+result matches exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+
+# events.parquet ships timestamps as TIMESTAMP_NTZ (parquet isAdjustedToUTC
+# = false, Spark 4 reads them as NTZ); session TZ is UTC so the LTZ cast
+# preserves stored micros
+EVENT_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def nats_source(spark: SparkSession, url: str, subject: str) -> DataFrame:
+    """Production NATS stream source (S9). Requires a DataSource-V2
+    NATS connector on the classpath; raises with the bridge guidance
+    otherwise (this sandbox ships no connector jars — the staged file
+    stream below carries identical messages)."""
+    try:
+        return (
+            spark.readStream.format("nats")
+            .option("nats.url", url)
+            .option("nats.subject", subject)
+            .load()
+        )
+    except Exception as e:  # noqa: BLE001 — classpath-dependent
+        raise RuntimeError(
+            "no NATS DSv2 connector on the classpath; deploy one or run a "
+            "NATS->Kafka bridge into streaming.ingest.kafka_source"
+        ) from e
+
+
+def stage_events_dir(sf_dir: str, root: str = "/root/repo/data/stream_events") -> str:
+    """Copy the driver's events.parquet into a file-stream directory
+    (idempotent). A real deployment points readStream at the landing
+    dir its NATS/Kafka sink writes to; the copy stands in for that."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(root, name)
+    marker = os.path.join(d, "part-00000.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), marker + ".tmp")
+        os.rename(marker + ".tmp", marker)
+    return d
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hour, event_type) rollup computed BY A STREAMING QUERY:
+    ``readStream`` over the staged events dir, 1-hour event-time
+    windows with a 1-hour watermark (the late-data bound a production
+    append-mode sink would use), ``availableNow`` trigger draining the
+    backlog exactly once into a memory sink.
+
+    Complete output mode so every window is emitted for the bounded
+    fixture — append mode would hold back windows newer than
+    max(ts) - watermark, which is correct for an unbounded stream but
+    unverifiable against a batch oracle."""
+    d = stage_events_dir(sf_dir)
+    name = "events_rollup_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(d)
+        # watermarks require TIMESTAMP (LTZ); session TZ is UTC so the
+        # cast preserves the stored NTZ micros
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), S.SCORE_DECIMALS).alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )

@@ -194,3 +194,40 @@ def test_parse_messages_kafka_shape(spark):
     row = parse_messages(raw).collect()[0]
     assert row["seq"] == 7 and row["doc_id"] == "kx:0000" and not row["delete"]
     assert row["doc"]["text"] == "kafka carried text" and row["doc"]["turn_idx"] == 0
+
+
+def test_events_hourly_rollup_stream_equals_batch(spark):
+    """The availableNow streaming window agg over the staged events
+    fixture equals the batch hour-truncate groupBy (S9 on driver data)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark import semantics as S
+    from searchengine_spark.streaming.events import events_hourly_rollup
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = [tuple(r) for r in events_hourly_rollup(spark, sf_dir).collect()]
+    batch = [
+        tuple(r)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), S.SCORE_DECIMALS).alias("sum_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+        .collect()
+    ]
+    assert len(got) > 10 and got == batch
+
+
+def test_nats_source_raises_without_connector(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.streaming.events import nats_source
+
+    with _pytest.raises(RuntimeError, match="NATS"):
+        nats_source(spark, "nats://localhost:4222", "documents")
