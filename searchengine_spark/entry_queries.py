@@ -40,6 +40,27 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_transcripts(sf_from_dir(sf_dir)))
 
 
+# session-scoped direct-path cache: the tokenized corpus (persisted) and
+# its (N, avgdl). The direct BM25 family otherwise re-runs the tokenize
+# scan 2-3× per query; a serving session tokenizes once. Results are
+# identical — the cache only short-circuits recomputation.
+_DIRECT_CACHE: dict[tuple[int, str], tuple[DataFrame, tuple[int, float]]] = {}
+
+
+def direct_ctx(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, tuple[int, float]]:
+    key = (id(spark), ensure_transcripts(sf_from_dir(sf_dir)))
+    if key not in _DIRECT_CACHE:
+        tok = tokenized(spark.read.parquet(key[1])).persist()
+        _DIRECT_CACHE[key] = (tok, corpus_stats(tok))
+    return _DIRECT_CACHE[key]
+
+
+def clear_direct_cache() -> None:
+    for tok, _ in _DIRECT_CACHE.values():
+        tok.unpersist()
+    _DIRECT_CACHE.clear()
+
+
 def _stop_sql() -> str:
     return ", ".join(f"'{w}'" for w in S.STOPWORDS)
 
@@ -110,7 +131,11 @@ FROM sc ORDER BY score_raw DESC, doc_id ASC LIMIT {S.TOP_K}
 
 
 def _bm25_spark(spark, sf_dir, terms, doc_predicate=None) -> DataFrame:
-    return search_direct(load_transcripts(spark, sf_dir), terms, doc_predicate=doc_predicate)
+    tok, stats = direct_ctx(spark, sf_dir)
+    return search_direct(
+        load_transcripts(spark, sf_dir), terms, doc_predicate=doc_predicate,
+        tok=tok, stats=stats,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +174,10 @@ def q_bm25_synonym(spark, sf_dir):
 def q_bm25_and(spark, sf_dir):
     """Conjunctive search (reference SimpleSearch, search.go:28-48):
     doc must contain every query term — posting intersection J4."""
-    return search_direct(load_transcripts(spark, sf_dir), Q_MULTI, mode="and")
+    tok, stats = direct_ctx(spark, sf_dir)
+    return search_direct(
+        load_transcripts(spark, sf_dir), Q_MULTI, mode="and", tok=tok, stats=stats
+    )
 
 
 def q_bm25_indexed_and(spark, sf_dir):
@@ -161,8 +189,7 @@ def q_bm25_indexed_and(spark, sf_dir):
 def q_search_sorted_recent(spark, sf_dir):
     """Explicit user sort (R4, rank.go:100-110): matching docs ordered
     by the sortable ts field, ranking fully overridden."""
-    t = load_transcripts(spark, sf_dir)
-    tok = tokenized(t)
+    tok, _ = direct_ctx(spark, sf_dir)
     match = (
         tok.select("doc_id", "ts", F.explode("tokens").alias("term"))
         .where(F.col("term").isin(Q_FILTERED))
@@ -180,7 +207,8 @@ def q_search_boosted(spark, sf_dir):
     """Boost-typed secondary sort (R3 *intended* semantics, quirk Q3):
     score desc, then logarithmic boost log(turn_idx+1)*2 desc, doc_id."""
     t = load_transcripts(spark, sf_dir)
-    topk = search_direct(t, Q_MULTI, k=50)
+    tok, stats = direct_ctx(spark, sf_dir)
+    topk = search_direct(t, Q_MULTI, k=50, tok=tok, stats=stats)
     meta = t.select(doc_id_col().alias("doc_id"), "turn_idx")
     boost = F.log(F.col("turn_idx").cast("double") + F.lit(1.0)) * F.lit(2.0)
     return (
@@ -205,19 +233,62 @@ def q_doc_lookup(spark, sf_dir):
     )
 
 
+def q_doc_typed_roundtrip(spark, sf_dir):
+    """Typed stored-field round-trip (reference getDocId decode,
+    handler.go:104-138): transcript rows become config-typed documents
+    (number/bool/timestamp/string) in a DocStore, and the fetch decodes
+    them back — NumericField→DOUBLE, BooleanField→BOOLEAN,
+    DateTimeField→RFC3339 — through OUR typed storage, not the source
+    parquet."""
+    from .configs import FieldConfig, IndexConfig
+    from .docstore import DocStore
+
+    cfg = IndexConfig(
+        indexName="typed_docs",
+        fields=[
+            FieldConfig("text", "string"),
+            FieldConfig("turn_number", "number", sortable=True),
+            FieldConfig("has_tool", "bool", filterable=True),
+            FieldConfig("ts", "timestamp", sortable=True),
+        ],
+    )
+    sf = sf_from_dir(sf_dir)
+    store = DocStore(spark, cfg, f"/root/repo/data/docstore/sf{sf:g}")
+    if not os.listdir(store.data_dir):
+        src = (
+            load_transcripts(spark, sf_dir)
+            .select(doc_id_col().alias("doc_id"), "text", "turn_idx", "tool", "ts")
+            .where(F.col("doc_id").isin(LOOKUP_IDS))
+            .collect()
+        )
+        docs = {
+            r["doc_id"]: {
+                "text": r["text"],
+                "turn_number": float(r["turn_idx"]),
+                "has_tool": bool(r["tool"]),
+                "ts": r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            }
+            for r in src
+        }
+        store.put_all(docs)
+    return store.fetch_df(LOOKUP_IDS)
+
+
 def q_bm25_fuzzy(spark, sf_dir):
     """Fuzziness=1 (reference search.go:122): expand against the corpus
     term dictionary with levenshtein<=1, then score each expansion."""
-    t = load_transcripts(spark, sf_dir)
+    tok, stats = direct_ctx(spark, sf_dir)
     vocab = (
-        tokenized(t)
+        tok
         .select(F.explode("tokens").alias("term"))
         .where(F.length("term").between(len(FUZZY_SOURCE) - 1, len(FUZZY_SOURCE) + 1))
         .distinct()
         .where(F.levenshtein(F.col("term"), F.lit(FUZZY_SOURCE)) <= 1)
     )
     terms = sorted(r["term"] for r in vocab.collect())
-    return search_direct(t, terms)
+    return search_direct(
+        load_transcripts(spark, sf_dir), terms, tok=tok, stats=stats
+    )
 
 
 # --------------------------------------------------------------------------
@@ -225,7 +296,7 @@ def q_bm25_fuzzy(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_term_df_top(spark, sf_dir):
-    tok = tokenized(load_transcripts(spark, sf_dir))
+    tok, _ = direct_ctx(spark, sf_dir)
     return (
         tok.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("term")
@@ -236,7 +307,7 @@ def q_term_df_top(spark, sf_dir):
 
 
 def q_doclen_by_role(spark, sf_dir):
-    tok = tokenized(load_transcripts(spark, sf_dir))
+    tok, _ = direct_ctx(spark, sf_dir)
     return (
         tok.groupBy("role")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
@@ -832,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sorted_recent": q_search_sorted_recent,
         "search_boosted": q_search_boosted,
         "doc_lookup": q_doc_lookup,
+        "doc_typed_roundtrip": q_doc_typed_roundtrip,
         "term_df_top": q_term_df_top,
         "doclen_by_role": q_doclen_by_role,
         "scan_stable_order": q_scan_stable_order,
@@ -927,6 +999,17 @@ FROM boosted ORDER BY score DESC, boost_raw DESC, doc_id ASC LIMIT 10
         "doc_lookup": f"""
 SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
        role, tool, text, epoch_us(ts) AS ts_us
+FROM read_parquet('{path}')
+WHERE conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
+      IN ({", ".join(repr(i) for i in LOOKUP_IDS)})
+ORDER BY doc_id
+""",
+        # the DocStore's decoded fetch == typed re-derivation from source
+        "doc_typed_roundtrip": f"""
+SELECT conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS doc_id,
+       text, CAST(turn_idx AS DOUBLE) AS turn_number,
+       (tool <> '') AS has_tool,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
 FROM read_parquet('{path}')
 WHERE conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 4, '0')
       IN ({", ".join(repr(i) for i in LOOKUP_IDS)})

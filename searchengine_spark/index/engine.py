@@ -302,6 +302,20 @@ def search_index(
     theta = 0.0
     if prune and doc_predicate is None and mode == "or" and st["n_docs"] >= PRUNE_MIN_DOCS:
         segs, theta = _prune_segments(ix, segs, idfs, k, overfetch)
+    if mode == "and" and len(terms) > 1:
+        # conjunctive segment pruning (exact): segments are doc-aligned
+        # across terms, so a doc matching ALL terms can only live in a
+        # segment where EVERY term has postings — intersect the per-term
+        # segment sets from metadata columns alone (the OR θ-bound is
+        # not sound for AND; this intersection is, and it is usually
+        # far stronger for selective conjunctions)
+        full = (
+            segs.groupBy("seg")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == len(terms))
+            .select("seg")
+        )
+        segs = segs.join(F.broadcast(full), "seg", "left_semi")
 
     scored = segs.select("term", "postings", "block_max_tfnorm").mapInPandas(
         _make_scorer(idfs, st["avgdl"], theta), "doc_int LONG, contrib DOUBLE"

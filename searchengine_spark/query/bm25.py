@@ -81,6 +81,8 @@ def search_direct(
     k: int = S.TOP_K,
     doc_predicate: Column | None = None,
     mode: str = "or",
+    tok: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for DISTINCT query `terms` straight off the
     transcripts table. `doc_predicate` is the MUST filter block applied
@@ -88,18 +90,22 @@ def search_direct(
     — filters constrain candidates, never affect scores). ``mode`` picks
     the boolean combiner: "or" = Bleve should-disjunction (search.go:
     120-124), "and" = SimpleSearch's conjunction (search.go:28-48) —
-    the doc must contain every query term (posting intersection J4)."""
+    the doc must contain every query term (posting intersection J4).
+
+    ``tok``/``stats`` let a caller supply a cached (persisted)
+    tokenized corpus + (N, avgdl): repeated direct queries then skip
+    the three tokenize scans per call (tokenize is ~half the direct
+    query's cost); results are identical by construction."""
     terms = list(dict.fromkeys(terms))
-    tok = tokenized(transcripts)
-    if doc_predicate is not None:
-        tok = tok.where(doc_predicate)
-    n_docs, avgdl = corpus_stats(tokenized(transcripts))  # stats over FULL corpus
-    tf = term_frequencies(tok, terms)
+    tok_full = tok if tok is not None else tokenized(transcripts)
+    work = tok_full.where(doc_predicate) if doc_predicate is not None else tok_full
+    n_docs, avgdl = stats if stats is not None else corpus_stats(tok_full)
+    tf = term_frequencies(work, terms)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # df must come from the unfiltered corpus for filter-independent idf
     if doc_predicate is not None:
         df_t = (
-            term_frequencies(tokenized(transcripts), terms)
+            term_frequencies(tok_full, terms)
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )

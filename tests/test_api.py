@@ -55,3 +55,18 @@ def test_simple_search_conjunction(ix, oracle_index):
 def test_hydrated_fields(ix, transcripts):
     got = api.advanced_search(ix, "spark", fuzzy=False, docs=transcripts).collect()
     assert got and set(got[0].asDict()) >= {"doc_id", "score", "role", "text", "ts"}
+
+
+def test_hydrated_results_keep_rank_order(ix, transcripts, oracle_index):
+    """R2/R4 contract through hydration: the docs= join must not
+    scramble rank order (it joins against the corpus, whose partition
+    order is arbitrary)."""
+    plain = [r["doc_id"] for r in api.advanced_search(ix, "spark query").collect()]
+    hydrated = [r["doc_id"] for r in api.advanced_search(ix, "spark query", docs=transcripts).collect()]
+    assert hydrated == plain
+
+    # explicit-sort path: hydrated order follows the sort key too
+    s_plain = [r["doc_id"] for r in api.advanced_search(ix, "spark", sort_field="ts", fuzzy=False).collect()]
+    s_hyd = api.advanced_search(ix, "spark", sort_field="ts", fuzzy=False, docs=transcripts).collect()
+    assert [r["doc_id"] for r in s_hyd] == s_plain
+    assert "ts" in s_hyd[0].asDict()  # sort key carried through

@@ -113,11 +113,14 @@ def test_build_resumable(spark, transcripts, tmp_path, monkeypatch):
 
     sid = cat.next_id()
     ledger_before = B.Ledger(cat.staging_dir(sid)).entries()
-    assert ledger_before["tf"]["status"] == "done"  # early stages committed
+    # early stages committed (tf is fused into postings at bucket_jobs=1)
+    assert ledger_before["docmap_raw"]["status"] == "done"
+    assert ledger_before["postings-0"]["status"] == "done"
 
     snap = build_index(spark, transcripts, cat, n_buckets=4, snap_id=sid)
-    # resumed build must NOT have redone the tf stage (same commit ts)
-    assert snap.manifest["ledger"]["tf"]["ts"] == ledger_before["tf"]["ts"]
+    # resumed build must NOT have redone committed stages (same commit ts)
+    assert snap.manifest["ledger"]["docmap_raw"]["ts"] == ledger_before["docmap_raw"]["ts"]
+    assert snap.manifest["ledger"]["postings-0"]["ts"] == ledger_before["postings-0"]["ts"]
     ixr = open_index(spark, cat)
     got = _pairs(search_index(ixr, ["spark"]))
     want = _pairs(search_direct(transcripts, ["spark"]))
@@ -235,3 +238,27 @@ def test_index_time_synonyms_df_shift(spark, transcripts, ix, tmp_path_factory):
     syn_hits = {r["doc_id"] for r in search_index(ixs, [group[0]], k=n_union).collect()}
     plain_hits = {r["doc_id"] for r in search_index(ix, group, k=n_union).collect()}
     assert syn_hits == plain_hits
+
+
+def test_fused_and_checkpointed_builds_identical(spark, transcripts, tmp_path_factory, monkeypatch):
+    """bucket_jobs=1 fuses tf into the postings encoder; the postings
+    table must be byte-identical to the tf-checkpointed path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cat_fast = IndexCatalog(str(tmp_path_factory.mktemp("fused") / "t"))
+    build_index(spark, transcripts, cat_fast, n_buckets=8)
+
+    monkeypatch.setenv("SENG_TF_CHECKPOINT", "1")
+    cat_ckpt = IndexCatalog(str(tmp_path_factory.mktemp("ckpt") / "t"))
+    build_index(spark, transcripts, cat_ckpt, n_buckets=8)
+    monkeypatch.delenv("SENG_TF_CHECKPOINT")
+
+    a = spark.read.parquet(cat_fast.current().postings_dir)
+    b = spark.read.parquet(cat_ckpt.current().postings_dir)
+    cols = ["term", "seg", "n", "first_doc", "last_doc", "sum_tf",
+            F.md5(F.col("postings")).alias("ph")]
+    rows_a = sorted(tuple(r) for r in a.select(*cols).collect())
+    rows_b = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert rows_a == rows_b and len(rows_a) > 100
