@@ -74,10 +74,15 @@ def advanced_search(
     fuzzy: bool = True,
     synonyms: bool = False,
     k: int = S.TOP_K,
+    from_: int = 0,
     docs: DataFrame | None = None,
     index_cfg: IndexConfig | None = None,
 ) -> DataFrame:
-    """GET /api/v1/search equivalent (handler.go:179-216)."""
+    """GET /api/v1/search equivalent (handler.go:179-216). ``from_`` is
+    the reference's ``SearchRequest.From`` pagination offset (R6): the
+    engine fetches the top ``from_ + k`` and drops the first ``from_``
+    — rank order is deterministic (score desc, doc_id asc), so pages
+    are stable across calls."""
     cfg = index_cfg or default_transcripts_index_config()
     if sort_field is not None and not validate_sort_field(cfg, sort_field):
         raise ValidationError(f"field '{sort_field}' is not sortable")  # handler.go:198-204
@@ -85,7 +90,9 @@ def advanced_search(
     pred = compile_filters(filter_request)
 
     if sort_field is None:
-        hits = search_index(ix, terms, k=k, doc_predicate=pred)
+        hits = search_index(ix, terms, k=k + from_, doc_predicate=pred)
+        if from_:
+            hits = hits.offset(from_)
         return _hydrate(ix, hits, docs) if docs is not None else hits
 
     # explicit sort overrides ranking entirely (R4, rank.go:100-110):
@@ -113,9 +120,11 @@ def advanced_search(
     hits = (
         dm.join(matched, "doc_int")
         .orderBy(key, F.asc("doc_id"))
-        .limit(k)
+        .limit(k + from_)
         .select("doc_id", sort_field)
     )
+    if from_:
+        hits = hits.offset(from_)
     if docs is not None:
         # keep the sort key through hydration so rank order (R4) survives
         return _hydrate(ix, hits, docs, order=[key, F.asc("doc_id")])

@@ -106,7 +106,8 @@ tok AS (SELECT doc_id, unnest(toks) AS term FROM t)
 
 
 def _bm25_sql(
-    path: str, terms_expr: str, where: str = "", having: str = "", synonyms: bool = False
+    path: str, terms_expr: str, where: str = "", having: str = "", synonyms: bool = False,
+    limit: int = S.TOP_K, offset: int = 0,
 ) -> str:
     """terms_expr: SQL producing qt(term) rows (the distinct query terms)."""
     return f"""{_tok_cte(path, synonyms)},
@@ -126,7 +127,7 @@ sc AS (
   {having}
 )
 SELECT doc_id, round(score_raw, {S.SCORE_DECIMALS}) AS score
-FROM sc ORDER BY score_raw DESC, doc_id ASC LIMIT {S.TOP_K}
+FROM sc ORDER BY score_raw DESC, doc_id ASC LIMIT {limit} OFFSET {offset}
 """
 
 
@@ -452,6 +453,17 @@ def q_stream_events_rollup(spark, sf_dir):
     from .streaming.events import events_hourly_rollup
 
     return events_hourly_rollup(spark, sf_dir)
+
+
+def q_bm25_page2(spark, sf_dir):
+    """R6 pagination (reference SearchRequest.From): page 2 of the
+    multi-term query — ranks 11-20 under the deterministic
+    (score desc, doc_id asc) order, via the API facade's from_/k."""
+    from .api import advanced_search
+
+    return advanced_search(
+        ensure_index(spark, sf_dir), " ".join(Q_MULTI), fuzzy=False, k=10, from_=10
+    )
 
 
 def q_ops_metrics(spark, sf_dir):
@@ -928,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "bm25_page2": q_bm25_page2,
         "stream_events_rollup": q_stream_events_rollup,
         "ops_metrics": q_ops_metrics,
     }
@@ -1112,6 +1125,7 @@ FROM f ORDER BY doc_id, frame_idx
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "emb_neardup_pairs": _sql_emb_neardup(),
+        "bm25_page2": _bm25_sql(path, lit(Q_MULTI), limit=10, offset=10),
         # the streaming 1h-window rollup == the batch hour-truncated agg
         "stream_events_rollup": f"""
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

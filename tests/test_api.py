@@ -70,3 +70,11 @@ def test_hydrated_results_keep_rank_order(ix, transcripts, oracle_index):
     s_hyd = api.advanced_search(ix, "spark", sort_field="ts", fuzzy=False, docs=transcripts).collect()
     assert [r["doc_id"] for r in s_hyd] == s_plain
     assert "ts" in s_hyd[0].asDict()  # sort key carried through
+
+
+def test_pagination_from(ix):
+    """R6: from_/k paginates the deterministic rank order — page 2 is
+    exactly rows 10-19 of a k=20 fetch."""
+    full = [tuple(r) for r in api.advanced_search(ix, "query plan shuffle", fuzzy=False, k=20).collect()]
+    page2 = [tuple(r) for r in api.advanced_search(ix, "query plan shuffle", fuzzy=False, k=10, from_=10).collect()]
+    assert page2 == full[10:20] and len(page2) == 10
