@@ -262,3 +262,36 @@ def test_fused_and_checkpointed_builds_identical(spark, transcripts, tmp_path_fa
     rows_a = sorted(tuple(r) for r in a.select(*cols).collect())
     rows_b = sorted(tuple(r) for r in b.select(*cols).collect())
     assert rows_a == rows_b and len(rows_a) > 100
+
+
+def test_block_max_pruning_engages_and_is_exact(spark, transcripts, tmp_path_factory, monkeypatch):
+    """Force multi-segment layout (tiny SEG_SPAN) and a zero engagement
+    gate so _prune_segments actually runs: the distributed greedy
+    prefix + theta semi-join must stay rank-identical to the unpruned
+    path and to the direct path, and must actually drop segments."""
+    import searchengine_spark.index.engine as E
+
+    monkeypatch.setattr(B, "SEG_SPAN", 64)  # ~1000 docs -> ~16 segments
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("prune") / "t"))
+    build_index(spark, transcripts, cat, n_buckets=8)
+    ixp = open_index(spark, cat)
+    n_segs = ixp.postings().select("seg").distinct().count()
+    assert n_segs > 4
+
+    monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+    for terms in (["spark"], ["query", "plan", "shuffle"], ["data", "model", "run"]):
+        pruned = _pairs(search_index(ixp, terms, prune=True))
+        unpruned = _pairs(search_index(ixp, terms, prune=False))
+        direct = _pairs(search_direct(transcripts, terms))
+        assert pruned == unpruned == direct
+
+    # the prune path must actually produce a positive theta (i.e. it
+    # engaged) for a query with more matches than overfetch*k
+    segs = ixp.postings().where(F.col("term").isin(["data", "model", "run"]))
+    from searchengine_spark.index.engine import _idf, _prune_segments
+
+    st = ixp.stats
+    idfs = {t: _idf(st["n_docs"], 100) for t in ["data", "model", "run"]}
+    kept, theta = _prune_segments(ixp, segs, idfs, k=10, overfetch=1)
+    assert theta > 0.0
+    assert kept.select("seg").distinct().count() <= n_segs
