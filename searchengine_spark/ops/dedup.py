@@ -119,6 +119,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     band: int = MINHASH_BAND,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures → bucket join →
     exact-jaccard verification ≥ threshold.
@@ -130,8 +131,11 @@ def minhash_lsh_pairs(
     # shingles are materialized once (persist) and reused for hashing
     # and for the verification join; the band self-join carries only
     # (doc_id, band_key) — dragging the shingle arrays through it (and
-    # through the pair dedup) is what blows up the shuffle
-    sh = doc_shingles(docs).persist()
+    # through the pair dedup) is what blows up the shuffle. A caller may
+    # pass an already-persisted ``shingles`` frame (session cache shared
+    # across the dedup family) — then its lifecycle is the caller's.
+    owns_cache = shingles is None
+    sh = doc_shingles(docs).persist() if owns_cache else shingles
     sigs = _minhash_from_shingles(sh, k)
     n_bands = k // band
     bands = sigs.select(
@@ -172,12 +176,14 @@ def minhash_lsh_pairs(
     # released immediately — a long-lived session (serving driver, bench
     # loop) must not accumulate cached shingle blocks per call
     out = out.localCheckpoint(eager=True)
-    sh.unpersist()
+    if owns_cache:
+        sh.unpersist()
     return out.orderBy("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, *, threshold: float = 0.8, max_shingle_df: int = 50
+    docs: DataFrame, *, threshold: float = 0.8, max_shingle_df: int = 50,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via the shared-shingle join.
 
@@ -188,7 +194,7 @@ def ngram_jaccard_pairs(
     cap is the standard recall/skew trade and is part of the pinned
     semantics, mirrored in the oracle).
     """
-    sh = doc_shingles(docs)
+    sh = shingles if shingles is not None else doc_shingles(docs)
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     rare = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).where(F.col("df_s") <= max_shingle_df)
     ex = ex.join(rare.select("s"), "s")
