@@ -295,3 +295,36 @@ def test_block_max_pruning_engages_and_is_exact(spark, transcripts, tmp_path_fac
     kept, theta = _prune_segments(ixp, segs, idfs, k=10, overfetch=1)
     assert theta > 0.0
     assert kept.select("seg").distinct().count() <= n_segs
+
+
+def test_serving_plan_shape(ix):
+    """Plan-shape regression gate for the serving path: the postings
+    scan must push the term predicate into parquet (row-group pruning)
+    and read only the scoring columns; the top-k must be
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    from searchengine_spark.index.engine import _idf, _make_scorer, term_meta
+    from pyspark.sql import functions as F
+
+    meta = term_meta(ix, ["spark"])
+    st = ix.stats
+    segs = (
+        ix.postings()
+        .where(F.col("bucket").isin([meta["spark"][1]]))
+        .where(F.col("term").isin(["spark"]))
+        .select("term", "postings", "block_max_tfnorm")
+    )
+    scored = segs.mapInPandas(
+        _make_scorer({"spark": _idf(st["n_docs"], meta["spark"][0])}, st["avgdl"], 0.0),
+        "doc_int LONG, contrib DOUBLE",
+    )
+    top = (
+        scored.groupBy("doc_int").agg(F.sum("contrib").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_int")).limit(10)
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    scan = segs._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in scan and "term" in scan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan schema must not include posting metadata
+    # the scorer does not need (first_doc/last_doc/sum_tf stay unread)
+    assert "sum_tf" not in scan.split("ReadSchema", 1)[1][:400]
