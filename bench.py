@@ -160,7 +160,7 @@ def _scaling() -> dict | None:
     # noise, so the 4N side gets more samples — best-of-N approximates
     # uncontended capability, and undersampling the volatile side only
     # ever UNDERSTATES efficiency
-    reps_env = os.environ.get("SENG_SCALING_REPS", "2,5")
+    reps_env = os.environ.get("SENG_SCALING_REPS", "2,4")
     parts = [int(x) for x in reps_env.split(",")]
     reps = {pair[0]: parts[0], pair[1]: parts[-1] if len(parts) > 1 else parts[0]}
     best: dict[int, dict] = {}
