@@ -612,6 +612,17 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_docs_dedup_clusters(spark, sf_dir):
+    """Duplicate-group formation (the step after pair generation in a
+    dedup pipeline): connected components over the MinHash near-dup
+    graph via iterative min-label propagation; cluster_id = the doc the
+    pipeline keeps. Oracle: recursive-CTE transitive closure."""
+    pairs = OD.minhash_lsh_pairs(
+        _documents(spark, sf_dir), shingles=shingle_ctx(spark, sf_dir)
+    )
+    return OD.neardup_clusters(pairs)
+
+
 def q_docs_simhash(spark, sf_dir):
     return OD.simhash_signatures(_documents(spark, sf_dir))
 
@@ -721,6 +732,29 @@ j AS (
 )
 SELECT doc_a, doc_b, round(inter / (tot - inter), {S.SCORE_DECIMALS}) AS jaccard
 FROM j WHERE inter / (tot - inter) >= {threshold} ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_neardup_clusters() -> str:
+    """Connected components of the minhash pair graph as a recursive
+    transitive closure (fine at oracle scale; the Spark side uses
+    bounded-round label propagation instead)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh()}),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_a, doc_b FROM sym
+  UNION
+  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM sym)
+SELECT n.doc_id, least(n.doc_id, min(r.b)) AS cluster_id
+FROM nodes n JOIN reach r ON r.a = n.doc_id
+GROUP BY n.doc_id ORDER BY doc_id
 """
 
 
@@ -945,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_search": q_stream_upsert_search,
         "search_many_batch": q_search_many_batch,
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -1114,6 +1149,7 @@ LIMIT 10
             lit(Q_STREAM),
         ),
         "docs_minhash_lsh": _sql_minhash_lsh(),
+        "docs_dedup_clusters": _sql_neardup_clusters(),
         "docs_ngram_jaccard": _sql_ngram_jaccard(),
         "docs_simhash": _sql_simhash(),
         "docs_simhash_neardup": _sql_simhash_neardup(),

@@ -291,3 +291,56 @@ def simhash_neardup_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id), cluster_id = MIN doc_id in the component (the doc a
+    dedup pipeline keeps). The step after pair generation: pairs chain
+    (a~b, b~c ⇒ {a,b,c} is one duplicate group even when a~c was never
+    emitted).
+
+    Iterative min-label propagation — the standard Spark shape for
+    CC at scale (GraphX/GraphFrames do the same under the hood):
+    every round each node adopts the minimum label among itself and
+    its neighbors; converges in O(graph diameter) rounds, which for
+    near-dup graphs (tiny dense clusters) is ≤ a handful. Each round
+    ``localCheckpoint``s to truncate lineage (iterative-plan
+    discipline) and the convergence test is a cheap count on the
+    changed-label frame. Shuffles are bounded by the edge list — never
+    all-pairs."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        nxt = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")

@@ -243,3 +243,14 @@ def test_ivf_centroids_trained_and_deterministic():
     init = rng2.standard_normal((OA.IVF_LISTS, 16))
     init /= np.linalg.norm(init, axis=1, keepdims=True)
     assert not np.allclose(c1, init)
+
+
+def test_neardup_clusters_label_propagation(spark):
+    """Chained pairs collapse into one component; disjoint pairs stay
+    separate; cluster_id is the minimum member."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.95)],
+        "doc_a LONG, doc_b LONG, jaccard DOUBLE",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in OD.neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
