@@ -623,6 +623,34 @@ def q_docs_dedup_clusters(spark, sf_dir):
     return OD.neardup_clusters(pairs)
 
 
+def q_docs_deduped(spark, sf_dir):
+    """Dedup APPLY: the corpus with non-representative near-dup cluster
+    members dropped (keep = min-doc_id representative)."""
+    docs = _documents(spark, sf_dir)
+    pairs = OD.minhash_lsh_pairs(docs, shingles=shingle_ctx(spark, sf_dir))
+    return (
+        OD.dedup_apply(docs, OD.neardup_clusters(pairs))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_hash_sample(spark, sf_dir):
+    """Deterministic per-language hash sampling (reproducible dataset
+    versioning: md5 bucket < per-lang rate; engine-portable buckets)."""
+    from .ops.sampling import hash_sample
+
+    return hash_sample(_documents(spark, sf_dir))
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing plan: global token offsets + chunk
+    spans for fixed 512-token pretraining sequences."""
+    from .ops.sampling import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir))
+
+
 def q_docs_simhash(spark, sf_dir):
     return OD.simhash_signatures(_documents(spark, sf_dir))
 
@@ -980,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_many_batch": q_search_many_batch,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_dedup_clusters": q_docs_dedup_clusters,
+        "docs_deduped": q_docs_deduped,
+        "docs_hash_sample": q_docs_hash_sample,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -1150,6 +1181,39 @@ LIMIT 10
         ),
         "docs_minhash_lsh": _sql_minhash_lsh(),
         "docs_dedup_clusters": _sql_neardup_clusters(),
+        "docs_deduped": f"""
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_sql_neardup_clusters()}) c WHERE doc_id <> cluster_id
+)
+ORDER BY doc_id
+""",
+        "docs_hash_sample": """
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT % 100 AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50 WHEN 'es' THEN 50 WHEN 'de' THEN 50 WHEN 'fr' THEN 50 ELSE 25 END
+ORDER BY doc_id
+""",
+        "docs_pack_sequences": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 512 AS first_chunk,
+       (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
+FROM o ORDER BY doc_id
+""",
         "docs_ngram_jaccard": _sql_ngram_jaccard(),
         "docs_simhash": _sql_simhash(),
         "docs_simhash_neardup": _sql_simhash_neardup(),

@@ -344,3 +344,12 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+def dedup_apply(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus: drop every clustered doc
+    except its cluster representative (cluster_id == doc_id);
+    unclustered docs pass through. A broadcast-able left-anti join —
+    the drop set is only the non-representative duplicates."""
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")

@@ -254,3 +254,45 @@ def test_neardup_clusters_label_propagation(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in OD.neardup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from searchengine_spark.ops.sampling import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = [tuple(r) for r in hash_sample(docs).collect()]
+    b = [tuple(r) for r in hash_sample(docs.repartition(7)).collect()]
+    assert a == b and len(a) > 0  # partitioning never changes the sample
+    by_lang = {}
+    for doc_id, lang, bucket in a:
+        by_lang.setdefault(lang, 0)
+        by_lang[lang] += 1
+        assert 0 <= bucket < 100
+    n_en = docs.where("lang = 'en'").count()
+    # en keeps ~80%, others ~50% (hash buckets are near-uniform)
+    assert 0.6 < by_lang["en"] / n_en <= 1.0
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    from searchengine_spark.ops.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = pack_sequences(docs, window=512).collect()
+    # offsets are the exact running sum: doc i+1 starts where doc i ends
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["tok_offset"] == prev["tok_offset"] + prev["n_tokens"]
+    assert rows[0]["tok_offset"] == 0
+    for r in rows:
+        assert r["first_chunk"] == r["tok_offset"] // 512
+        assert r["last_chunk"] >= r["first_chunk"]
+
+
+def test_dedup_apply_drops_non_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id LONG, text STRING"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "doc_id LONG, cluster_id LONG"
+    )
+    kept = sorted(r["doc_id"] for r in OD.dedup_apply(docs, clusters).collect())
+    assert kept == [0, 1, 3, 4]
