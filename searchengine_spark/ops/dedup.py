@@ -326,21 +326,21 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("doc_a", "doc_id")
         )
+        new_label = F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+        # the changed flag rides inside the checkpointed frame, so the
+        # convergence test is a count over materialized data — one
+        # materialization + one cheap count per round, no re-join
         nxt = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = nxt
+        changed = nxt.where(F.col("_chg")).count()
+        labels = nxt.drop("_chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
