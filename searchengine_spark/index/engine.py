@@ -321,13 +321,16 @@ def search_index(
         _make_scorer(idfs, st["avgdl"], theta), "doc_int LONG, contrib DOUBLE"
     )
 
-    if doc_predicate is not None:
-        allowed = ix.docmap().where(doc_predicate).select("doc_int")
-        scored = scored.join(allowed, "doc_int", "left_semi")
-
     agg = scored.groupBy("doc_int").agg(
         F.sum("contrib").alias("score_raw"), F.count(F.lit(1)).alias("_nt")
     )
+    if doc_predicate is not None:
+        # MUST filter commutes with per-doc aggregation (it drops whole
+        # docs, never individual term contributions) — joining AFTER the
+        # groupBy semi-joins the few aggregated rows instead of every
+        # (term, doc) contribution row
+        allowed = ix.docmap().where(doc_predicate).select("doc_int")
+        agg = agg.join(allowed, "doc_int", "left_semi")
     if mode == "and":
         # one scorer row per (term, doc) → row count == matched terms
         agg = agg.where(F.col("_nt") == len(terms))
