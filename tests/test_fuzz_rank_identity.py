@@ -43,3 +43,41 @@ def test_random_query_rank_identity(spark, transcripts, oracle_index, fuzz_ix, t
     assert viaidx == direct
     for (_, gs), (_, es) in zip(direct, expected):
         assert gs == pytest.approx(es, abs=2e-4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        max_size=30,
+    )
+)
+def test_cluster_components_match_union_find(spark, edges):
+    """Property: distributed min-label propagation == union-find on any
+    random pair graph (component membership AND min-representative)."""
+    from searchengine_spark.ops.dedup import neardup_clusters
+
+    pairs = [(min(a, b), max(a, b), 0.9) for a, b in edges]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "doc_a LONG, doc_b LONG, jaccard DOUBLE") if pairs else \
+        spark.createDataFrame([], "doc_a LONG, doc_b LONG, jaccard DOUBLE")
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
+    assert got == expected
