@@ -445,6 +445,18 @@ def q_bm25_synonym_indexed(spark, sf_dir):
     return search_index(ensure_syn_index(spark, sf_dir), [S.SYNONYM_GROUPS[0][0]])
 
 
+def q_emb_dedup_clusters(spark, sf_dir):
+    """Cluster formation composes across modalities: connected
+    components over the EMBEDDING near-dup graph (exact blocked-GEMM
+    pairs → min-label propagation)."""
+    pairs = OA.cosine_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return OD.neardup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+
+
 def q_stream_events_rollup(spark, sf_dir):
     """S9 on driver data: a real Structured Streaming query (file
     stream standing in for the reference's NATS subject — see
@@ -1023,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
         "bm25_page2": q_bm25_page2,
         "stream_events_rollup": q_stream_events_rollup,
         "ops_metrics": q_ops_metrics,
@@ -1242,6 +1255,23 @@ FROM f ORDER BY doc_id, frame_idx
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "emb_neardup_pairs": _sql_emb_neardup(),
+        "emb_dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_sql_emb_neardup()}),
+sym AS (
+  SELECT vec_a, vec_b FROM pairs
+  UNION
+  SELECT vec_b AS vec_a, vec_a AS vec_b FROM pairs
+),
+reach(a, b) AS (
+  SELECT vec_a, vec_b FROM sym
+  UNION
+  SELECT r.a, s.vec_b FROM reach r JOIN sym s ON r.b = s.vec_a
+),
+nodes AS (SELECT DISTINCT vec_a AS vec_id FROM sym)
+SELECT n.vec_id, least(n.vec_id, min(r.b)) AS cluster_id
+FROM nodes n JOIN reach r ON r.a = n.vec_id
+GROUP BY n.vec_id ORDER BY vec_id
+""",
         "bm25_page2": _bm25_sql(path, lit(Q_MULTI), limit=10, offset=10),
         # the streaming 1h-window rollup == the batch hour-truncated agg
         "stream_events_rollup": f"""
