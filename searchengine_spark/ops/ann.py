@@ -427,8 +427,15 @@ def cosine_neardup_pairs(
         .groupBy("blk")
         .applyInPandas(_pack_block, "blk INT, n INT, ids BINARY, mat BINARY")
     )
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi INT, bj INT"
+    # tile-pair enumeration stays on the cluster: a range cross-join is
+    # O(1) driver memory vs a driver-built O(n_blocks²) Python list
+    pairs = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .join(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bj")),
+            F.col("bi") <= F.col("bj"),
+        )
     )
     a = packed.select(
         F.col("blk").alias("bi"), F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")

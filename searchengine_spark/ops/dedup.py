@@ -310,9 +310,16 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     changed-label frame. Shuffles are bounded by the edge list — never
     all-pairs."""
     edges = pairs.select("doc_a", "doc_b")
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    # materialize the symmetric edge list ONCE — every propagation round
+    # joins against it, and without this the full upstream pair-generation
+    # plan (e.g. the blocked-GEMM all-pairs job) would re-execute per round
+    sym = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -349,7 +356,10 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 def dedup_apply(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     """Materialize the deduplicated corpus: drop every clustered doc
     except its cluster representative (cluster_id == doc_id);
-    unclustered docs pass through. A broadcast-able left-anti join —
-    the drop set is only the non-representative duplicates."""
+    unclustered docs pass through. Left-anti join on doc_id with NO
+    forced broadcast: the drop set is every non-representative
+    duplicate — at 100 TB dup rates that is billions of rows, so the
+    join strategy is left to AQE/size statistics (broadcast only when
+    the measured drop set is actually small)."""
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return docs.join(drop, "doc_id", "left_anti")

@@ -15,11 +15,14 @@ tokenizer sees the data).
   ``window``-token chunks (the standard LLM pretraining layout). Emits
   each doc's global token offset and the chunk span it lands in.
 
-Scale note: ``pack_sequences`` needs a global running token sum. The
-implementation here uses a window over doc_id (fine to ~10^8 rows);
-at 10^12 the same numbering uses the build's two-phase scheme
-(``index/build.py``: per-partition counts from parquet footers →
-broadcast offsets), which is O(partitions) driver work.
+Scale note: ``pack_sequences`` needs a global running token sum.
+The implementation is the two-phase distributed scan: range-partition
+by doc_id, per-partition running sums (a window PARTITIONED by
+spark_partition_id — never a single global sort), then per-partition
+totals (≤ n_partitions rows) prefix-summed on the driver and
+broadcast-joined back as partition base offsets. Driver transfer is
+O(partitions) — the same discipline as the build's footer-offset
+scheme (``index/build.py``).
 """
 
 from __future__ import annotations
@@ -60,21 +63,60 @@ def hash_sample(
     )
 
 
-def pack_sequences(docs: DataFrame, window: int = 512) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, window: int = 512, *, n_partitions: int | None = None
+) -> DataFrame:
     """Concat-and-chunk packing plan: per doc, its token count, global
     token offset (docs concatenated in doc_id order), and the chunk
     span [first_chunk, last_chunk] it occupies in fixed ``window``-
     token sequences. A writer task can then emit chunk files from this
-    plan without any further coordination."""
+    plan without any further coordination.
+
+    Distributed two-phase scan (no global window): range-partition by
+    doc_id → per-partition running sum (window partitioned by
+    ``spark_partition_id`` — each group is one range partition, so the
+    sort is partition-local) → per-partition totals prefix-summed on
+    the driver (≤ n_partitions rows) → broadcast base offsets. The
+    locally-cumsum'd frame is persisted so the totals job and the
+    final join see one consistent partition assignment."""
+    spark = docs.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(S.TOKEN_PATTERN_JAVA), F.lit(0))
-    d = docs.select("doc_id", F.size(toks).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        d.withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .withColumn("first_chunk", F.floor(F.col("tok_offset") / window))
-        .withColumn(
-            "last_chunk",
-            F.floor((F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / window),
-        )
-        .orderBy("doc_id")
+    d = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    part = d.repartitionByRange(n_partitions, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
     )
+    w_local = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = part.withColumn("cum", F.sum("n_tokens").over(w_local)).persist()
+    try:
+        totals = {
+            r["pid"]: r["tot"]
+            for r in local.groupBy("pid").agg(F.max("cum").alias("tot")).collect()
+        }
+        base, rows = 0, []
+        for pid in sorted(totals):
+            rows.append((pid, base))
+            base += totals[pid]
+        offsets = spark.createDataFrame(rows or [(0, 0)], "pid INT, base LONG")
+        out = (
+            local.join(F.broadcast(offsets), "pid")
+            .withColumn("tok_offset", F.col("base") + F.col("cum") - F.col("n_tokens"))
+            .withColumn("first_chunk", F.floor(F.col("tok_offset") / window))
+            .withColumn(
+                "last_chunk",
+                F.floor(
+                    (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                    / window
+                ),
+            )
+            .select("doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk")
+            .orderBy("doc_id")
+        )
+        # materialize before unpersist so callers get a final frame whose
+        # lineage no longer references the persisted intermediate
+        return out.localCheckpoint(eager=True)
+    finally:
+        local.unpersist()

@@ -27,7 +27,13 @@ def _prune_old_event_logs(evdir: str, keep: int = 10) -> None:
     except OSError:
         return
     for p in entries[:-keep] if len(entries) > keep else []:
-        shutil.rmtree(p, ignore_errors=True)
+        try:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:  # single-file (non-rolling) logs — rmtree won't remove these
+                os.remove(p)
+        except OSError:
+            pass
 
 
 def get_spark(
