@@ -93,6 +93,26 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     return parse_messages(raw.withColumn("value", F.col("value")))
 
 
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Live TCP push source: newline-delimited JSON messages over a
+    socket → the same typed ``message_schema()`` frame as
+    :func:`kafka_source`. This is the NATS core-subject shape
+    (reference ``internal/subscriber/subscriber.go:38-76``: text
+    messages pushed over a connection, applied in arrival order) and —
+    unlike the Kafka/NATS connectors — runs against an embedded TCP
+    server with zero extra jars, so the live-broker path IS
+    integration-tested in-sandbox (tests/test_streaming.py). Spark's
+    socket source is single-receiver/no-replay by design; production
+    deployments keep Kafka (S10) or a NATS bridge for redelivery."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return parse_messages(raw, value_col="value")
+
+
 class StreamingIndex:
     """One streamed logical index: base snapshot + ordered delta log.
 

@@ -231,3 +231,57 @@ def test_nats_source_raises_without_connector(spark):
 
     with _pytest.raises(RuntimeError, match="NATS"):
         nats_source(spark, "nats://localhost:4222", "documents")
+
+
+def test_socket_source_live_push(spark):
+    """The live-broker edge, integration-tested in-sandbox: an embedded
+    TCP server pushes newline-delimited JSON messages (the NATS
+    core-subject shape — reference ``internal/subscriber/
+    subscriber.go:38-76``) into a running Structured Streaming query
+    via ``socket_source``; the typed rows land in arrival order."""
+    import socket
+    import threading
+    import time
+
+    from searchengine_spark.streaming.ingest import socket_source
+
+    msgs = [
+        _msg(1, "sock", 0, "pushed over the wire"),
+        _msg(2, "sock", 1, "second live message"),
+        _msg(3, "sock", 0, "", delete=True),
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("".join(json.dumps(m) + "\n" for m in msgs)).encode())
+            stop.wait(timeout=30)  # keep the connection open until the query drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        socket_source(spark, "127.0.0.1", port)
+        .writeStream.format("memory")
+        .queryName("socket_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("socket_live").count() < len(msgs):
+            time.sleep(0.5)
+        rows = spark.table("socket_live").orderBy("seq").collect()
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+    assert [r["seq"] for r in rows] == [1, 2, 3]
+    assert rows[0]["doc_id"] == "sock:0000" and not rows[0]["delete"]
+    assert rows[0]["doc"]["text"] == "pushed over the wire"
+    assert rows[2]["delete"] and rows[2]["doc_id"] == "sock:0000"
