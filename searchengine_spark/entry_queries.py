@@ -72,6 +72,7 @@ def clear_direct_cache() -> None:
         sh.unpersist()
     _SHINGLE_CACHE.clear()
     _EMB_PAIR_CACHE.clear()  # localCheckpoint frames free with the session
+    _MINHASH_PAIR_CACHE.clear()
 
 
 def _stop_sql() -> str:
@@ -642,10 +643,23 @@ def emb_pair_ctx(spark, sf_dir, threshold: float = 0.45) -> DataFrame:
     return _EMB_PAIR_CACHE[key]
 
 
+# session-scoped MinHash pair-graph cache: minhash_lsh, dedup_clusters
+# and deduped all start from the same (already localCheckpointed) pair
+# frame; sharing it runs the band join + jaccard verify once per corpus
+_MINHASH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_pair_ctx(spark, sf_dir) -> DataFrame:
+    key = (_session_key(spark), f"{sf_dir}/documents.parquet")
+    if key not in _MINHASH_PAIR_CACHE:
+        _MINHASH_PAIR_CACHE[key] = OD.minhash_lsh_pairs(
+            _documents(spark, sf_dir), shingles=shingle_ctx(spark, sf_dir)
+        )
+    return _MINHASH_PAIR_CACHE[key]
+
+
 def q_docs_minhash_lsh(spark, sf_dir):
-    return OD.minhash_lsh_pairs(
-        _documents(spark, sf_dir), shingles=shingle_ctx(spark, sf_dir)
-    )
+    return minhash_pair_ctx(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def q_docs_ngram_jaccard(spark, sf_dir):
@@ -659,19 +673,15 @@ def q_docs_dedup_clusters(spark, sf_dir):
     dedup pipeline): connected components over the MinHash near-dup
     graph via iterative min-label propagation; cluster_id = the doc the
     pipeline keeps. Oracle: recursive-CTE transitive closure."""
-    pairs = OD.minhash_lsh_pairs(
-        _documents(spark, sf_dir), shingles=shingle_ctx(spark, sf_dir)
-    )
-    return OD.neardup_clusters(pairs)
+    return OD.neardup_clusters(minhash_pair_ctx(spark, sf_dir))
 
 
 def q_docs_deduped(spark, sf_dir):
     """Dedup APPLY: the corpus with non-representative near-dup cluster
     members dropped (keep = min-doc_id representative)."""
     docs = _documents(spark, sf_dir)
-    pairs = OD.minhash_lsh_pairs(docs, shingles=shingle_ctx(spark, sf_dir))
     return (
-        OD.dedup_apply(docs, OD.neardup_clusters(pairs))
+        OD.dedup_apply(docs, OD.neardup_clusters(minhash_pair_ctx(spark, sf_dir)))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
@@ -754,6 +764,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     with the oracle generator), partition-pruned scan of the probed
     ``list_id=…`` directories only."""
     return OA.ivf_topk_store(spark, OA.ensure_ann_store(spark, sf_dir), query_vec_id=0)
+
+
+ANN_BATCH_QIDS = [0, 3, 7, 11]
+
+
+def q_ann_cosine_batch(spark, sf_dir):
+    """Batch ANN serving: exact cosine top-k for four stored query
+    vectors in ONE corpus pass (broadcast query set → scored cross
+    join → per-qid window top-k) — the amortized multi-query shape."""
+    return OA.cosine_topk_batch(_embeddings(spark, sf_dir), ANN_BATCH_QIDS)
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
@@ -1066,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_cosine_batch": q_ann_cosine_batch,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "bm25_page2": q_bm25_page2,
@@ -1205,6 +1226,26 @@ ORDER BY list_dot_product(emb, qemb)
          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) DESC,
          vec_id ASC
 LIMIT 10
+""",
+        "ann_cosine_batch": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_BATCH_QIDS)})),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(emb, qemb)
+           / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb)))
+           AS cos_raw
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, round(cos_raw, {S.SCORE_DECIMALS}) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY qid, rank
 """,
         "bm25_indexed_single": _bm25_sql(path, lit(Q_SINGLE)),
         "bm25_indexed_multi": _bm25_sql(path, lit(Q_MULTI)),

@@ -29,7 +29,7 @@ import json
 import math
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import semantics as S
@@ -85,6 +85,41 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     return _topk_shape(
         e.crossJoin(qv).select("vec_id", cosine(F.col("emb"), F.col("qemb")).alias("cos_raw")),
         query_vec_id, k,
+    )
+
+
+def cosine_topk_batch(
+    emb: DataFrame, query_vec_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k for a BATCH of stored query
+    vectors in one pass: broadcast the (small) query set, score every
+    (corpus row × query) pair, then a per-query window top-k.
+
+    The batch-serving shape for 100 TB: one corpus scan amortized over
+    all queries (vs one job per query), the per-query top-k is a
+    ``row_number`` window partitioned by qid — each partition's sort is
+    bounded by the corpus, and with AQE the skewless qid partitioning
+    spreads queries across executors. Output is deterministic:
+    (cos desc, vec_id asc) per qid, matching :func:`cosine_topk`."""
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    q = F.broadcast(
+        e.where(F.col("vec_id").isin(query_vec_ids)).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("emb"), F.col("qemb")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid", "vec_id", F.round("cos_raw", S.SCORE_DECIMALS).alias("cos_sim"), "rank"
+        )
+        .orderBy("qid", "rank")
     )
 
 
