@@ -191,16 +191,27 @@ def _scaling() -> dict | None:
                 order.append(cpus)
     samples: dict[int, list[float]] = {c: [] for c in pair}
     n_docs = 0
+    import shutil as _sh
+
+    taskset = _sh.which("taskset")
     try:
         for cpus in order:
             os.sync()  # drain dirty-page writeback from the previous run
+            cmd = [
+                sys.executable,
+                os.path.join(REPO, "scripts", "build_once.py"),
+                str(cpus), sf, str(reps[cpus]),
+            ]
+            # pin each level to EXACTLY its core budget: an N-executor
+            # cluster gives the job N cores total (task slots AND GC /
+            # shuffle / Python-worker threads). Unpinned, the local[1]
+            # JVM borrows idle cores for its helper threads (overstating
+            # 1-core capability) and wanders across the socket (±15%
+            # sample noise); pinned, the slow side repeats within ±0.5%.
+            if taskset is not None:
+                cmd = [taskset, "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
             out = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(REPO, "scripts", "build_once.py"),
-                    str(cpus), sf, str(reps[cpus]),
-                ],
-                capture_output=True, text=True, timeout=1800, check=True,
+                cmd, capture_output=True, text=True, timeout=1800, check=True,
             ).stdout.strip().splitlines()[-1]
             r = json.loads(out)
             samples[cpus].extend(r["build_seconds_samples"])

@@ -296,3 +296,34 @@ def test_dedup_apply_drops_non_representatives(spark):
     )
     kept = sorted(r["doc_id"] for r in OD.dedup_apply(docs, clusters).collect())
     assert kept == [0, 1, 3, 4]
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """The two-phase offset scan gives identical offsets regardless of
+    how many range partitions the plan uses (the global concatenation
+    order is doc_id, never physical layout)."""
+    from searchengine_spark.ops.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [tuple(r) for r in pack_sequences(docs, window=128, n_partitions=1).collect()]
+    b = [tuple(r) for r in pack_sequences(docs, window=128, n_partitions=7).collect()]
+    c = [tuple(r) for r in pack_sequences(docs.repartition(13), window=128, n_partitions=4).collect()]
+    assert a == b == c and len(a) > 0
+
+
+def test_cosine_topk_batch_matches_single(spark):
+    """Batch ANN (one corpus pass, per-qid window top-k) returns exactly
+    the per-query brute-force answers."""
+    from searchengine_spark.ops.ann import cosine_topk, cosine_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 2, 5]
+    batch = cosine_topk_batch(emb, qids, k=5).collect()
+    for qid in qids:
+        single = [
+            (r["vec_id"], r["cos_sim"]) for r in cosine_topk(emb, qid, k=5).collect()
+        ]
+        got = [(r["vec_id"], r["cos_sim"]) for r in batch if r["qid"] == qid]
+        assert got == single, qid
+    ranks = [r["rank"] for r in batch if r["qid"] == qids[0]]
+    assert ranks == [1, 2, 3, 4, 5]
