@@ -196,23 +196,43 @@ def _idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+# absolute slack on the block bound: survivors of float rounding in the
+# cross-term complement (ub − idf·segmax vs the exact Σ_{u≠t}) must not
+# be dropped; only widens what is kept, never prunes more
+_THETA_EPS = 1e-9
+
+
 def _make_scorer(idfs: dict[str, float], avgdl: float, theta: float = 0.0):
     """mapInPandas stage: decode segments → per-entry contributions.
 
-    Emits (doc_int, contrib). Blocks whose idf·block_max_tfnorm bound is
-    ≤ θ are skipped for single-term queries (multi-term exactness at
-    block level would need cross-term doc alignment, which segments —
-    not blocks — provide; segment pruning already happened upstream).
+    Emits (doc_int, contrib). Block-max WAND skip (north_star), exact
+    for ANY number of query terms: segments are doc-aligned across
+    terms (codec.SEG_SPAN), so for block b of term t in segment s
+
+        bound(t, b) = idf_t·block_max_tfnorm(b) + Σ_{u≠t} idf_u·seg_max_tfnorm(u, s)
+
+    upper-bounds the TOTAL BM25 score of every doc in that block. The
+    cross-term complement arrives as the ``seg_ub`` column (segment
+    ub = Σ_t idf_t·seg_max, attached by ``_prune_segments``), so
+    other = seg_ub − idf_t·seg_max_t — exactly 0.0 for single-term
+    queries. Dropping a block with bound < θ − ε is exact even though
+    the doc's OTHER term contributions still flow: its total score is
+    provably < θ, so its (partial) aggregate can never reach the top-k
+    boundary, ties at θ included.
     """
     k1, b = S.K1, S.B
-    single = len(idfs) == 1
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             outs_d, outs_s = [], []
-            for term, blob, bmax in zip(pdf["term"], pdf["postings"], pdf["block_max_tfnorm"]):
+            prune = theta > 0.0 and "seg_ub" in pdf.columns
+            seg_ubs = pdf["seg_ub"] if prune else pdf["term"]
+            seg_maxes = pdf["seg_max_tfnorm"] if prune else pdf["term"]
+            for term, blob, bmax, seg_ub, seg_max in zip(
+                pdf["term"], pdf["postings"], pdf["block_max_tfnorm"], seg_ubs, seg_maxes
+            ):
                 idf = idfs[term]
                 docs, tfs, dls = decode_postings(bytes(blob))
                 tfd = tfs.astype(np.float64)
@@ -220,9 +240,10 @@ def _make_scorer(idfs: dict[str, float], avgdl: float, theta: float = 0.0):
                 # identical association to bm25_score_expr → bit-equal f64
                 tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
                 contrib = idf * tfn
-                if single and theta > 0.0:
-                    bm = np.asarray(bmax, dtype=np.float64) * idf
-                    keep_block = bm >= theta  # ties must survive (doc_id tie-break)
+                if prune:
+                    other = float(seg_ub) - idf * float(seg_max)
+                    bm = np.asarray(bmax, dtype=np.float64) * idf + other
+                    keep_block = bm >= theta - _THETA_EPS
                     if not keep_block.all():
                         mask = np.repeat(keep_block, BLOCK)[: len(docs)]
                         docs, contrib = docs[mask], contrib[mask]
@@ -317,7 +338,10 @@ def search_index(
         )
         segs = segs.join(F.broadcast(full), "seg", "left_semi")
 
-    scored = segs.select("term", "postings", "block_max_tfnorm").mapInPandas(
+    score_cols = ["term", "postings", "block_max_tfnorm"]
+    if theta > 0.0 and "seg_ub" in segs.columns:
+        score_cols += ["seg_max_tfnorm", "seg_ub"]
+    scored = segs.select(*score_cols).mapInPandas(
         _make_scorer(idfs, st["avgdl"], theta), "doc_int LONG, contrib DOUBLE"
     )
 
@@ -491,8 +515,11 @@ def _prune_segments(
     if len(exact) < k:
         return segs, 0.0  # not enough candidates to establish a safe θ
     theta = float(exact[-1]["sc"])
-    # keep ties: a pruned doc scoring exactly θ could win the doc_id tie-break
+    # keep ties: a pruned doc scoring exactly θ could win the doc_id tie-break.
+    # Inner join (same broadcast the old semi-join used) so every surviving
+    # row carries its segment's ub — the scorer derives the cross-term
+    # block-max complement from it (multi-term WAND, zero extra jobs)
     survivors = seg_meta.where(
         (F.col("ub") >= theta) | F.col("seg").isin(picked)
-    ).select("seg")
-    return segs.join(F.broadcast(survivors), "seg", "left_semi"), theta
+    ).select("seg", F.col("ub").alias("seg_ub"))
+    return segs.join(F.broadcast(survivors), "seg"), theta

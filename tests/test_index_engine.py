@@ -328,3 +328,64 @@ def test_serving_plan_shape(ix):
     # column pruning: the scan schema must not include posting metadata
     # the scorer does not need (first_doc/last_doc/sum_tf stay unread)
     assert "sum_tf" not in scan.split("ReadSchema", 1)[1][:400]
+
+
+def test_multiterm_block_skip_exact(monkeypatch):
+    """Multi-term block-max WAND (north_star): with the cross-term
+    segment complement (seg_ub − idf_t·seg_max_t) a cold block of ONE
+    term is skipped even though other terms keep scoring its docs, and
+    every doc whose total can reach θ keeps its full score.
+
+    Pure scorer-level test (no Spark): BLOCK shrunk to 2 so a handful
+    of postings spans multiple blocks."""
+    import numpy as np
+    import pandas as pd
+
+    import searchengine_spark.index.engine as E
+    from searchengine_spark import semantics as S
+    from searchengine_spark.index.codec import encode_postings
+
+    monkeypatch.setattr(E, "BLOCK", 2)
+    k1, b, avgdl = S.K1, S.B, 10.0
+
+    def tfn(tf, dl=10):
+        tf = np.float64(tf)
+        return float(tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+
+    # term a: docs 0-3, hot block (tf=5,5) then cold block (tf=1,1)
+    # term b: docs 0-1, one block (tf=1,1)
+    blob_a = encode_postings(np.array([0, 1, 2, 3]), np.array([5, 5, 1, 1]), np.full(4, 10))
+    blob_b = encode_postings(np.array([0, 1]), np.array([1, 1]), np.full(2, 10))
+    bmax_a = [max(tfn(5), tfn(5)), max(tfn(1), tfn(1))]
+    bmax_b = [tfn(1)]
+    segmax_a, segmax_b = max(bmax_a), max(bmax_b)
+    idfs = {"a": 1.0, "b": 1.0}
+    seg_ub = idfs["a"] * segmax_a + idfs["b"] * segmax_b
+
+    pdf = pd.DataFrame(
+        {
+            "term": ["a", "b"],
+            "postings": [blob_a, blob_b],
+            "block_max_tfnorm": [bmax_a, bmax_b],
+            "seg_max_tfnorm": [segmax_a, segmax_b],
+            "seg_ub": [seg_ub, seg_ub],
+        }
+    )
+
+    def agg(theta):
+        out = list(E._make_scorer(idfs, avgdl, theta)(iter([pdf])))
+        rows = pd.concat(out)
+        return rows.groupby("doc_int")["contrib"].sum().to_dict(), len(rows)
+
+    full, n_full = agg(0.0)
+    assert n_full == 6  # 4 a-entries + 2 b-entries, nothing skipped
+    # bounds: a-cold block = tfn(1) + segmax_b = 2.0; every other block 2.77+
+    theta = 2.5
+    pruned, n_pruned = agg(theta)
+    assert n_pruned == 4  # a's cold block (docs 2,3) skipped, b intact
+    # docs that can reach θ keep bit-identical full scores
+    for d in (0, 1):
+        assert pruned[d] == full[d] and full[d] >= theta
+    # skipped docs' true totals are provably below θ
+    for d in (2, 3):
+        assert full[d] < theta and d not in pruned
