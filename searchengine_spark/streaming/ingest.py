@@ -166,6 +166,35 @@ class StreamingIndex:
     # ingest
     # ------------------------------------------------------------------
 
+    def ingest_stream(self, messages: DataFrame, *, drain: bool = True):
+        """Attach the delta-publishing sink to ANY typed message stream
+        — the one production entry point for every source (S9-S11):
+
+            six.ingest_stream(kafka_source(spark, brokers, topic))
+            six.ingest_stream(socket_source(spark, host, port), drain=False)
+            six.ingest_stream(parse_messages(raw_binary_frames))
+
+        ``messages`` must be a *streaming* DataFrame in the
+        ``message_schema()`` shape. With ``drain=True`` the query runs
+        ``availableNow`` (process everything available exactly once
+        against the checkpoint, then stop — replayable sources only:
+        files/Kafka); ``drain=False`` starts a continuous micro-batch
+        query and returns it running (live push sources like sockets).
+        Either way each micro-batch lands as one immutable delta via
+        :meth:`apply_batch`, and a crash resumes from the checkpoint
+        without reapplying published epochs."""
+        writer = (
+            messages.writeStream
+            .foreachBatch(lambda df, eid: self.apply_batch(df, eid))
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if drain:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+        return q
+
     def ingest_files(self, source_dir: str, max_files_per_trigger: int | None = None):
         """Drain all available stream input exactly once and return.
 
@@ -178,14 +207,7 @@ class StreamingIndex:
             .option("maxFilesPerTrigger", max_files_per_trigger or 1)
             .json(source_dir)
         )
-        q = (
-            reader.writeStream.foreachBatch(lambda df, eid: self.apply_batch(df, eid))
-            .option("checkpointLocation", self.checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return q
+        return self.ingest_stream(reader)
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """One micro-batch → one immutable delta dir (idempotent by name:

@@ -285,3 +285,75 @@ def test_socket_source_live_push(spark):
     assert rows[0]["doc_id"] == "sock:0000" and not rows[0]["delete"]
     assert rows[0]["doc"]["text"] == "pushed over the wire"
     assert rows[2]["delete"] and rows[2]["doc_id"] == "sock:0000"
+
+
+def test_kafka_shaped_stream_end_to_end(spark, transcripts):
+    """S10 production wiring, executed (not just parsed): frames with
+    Kafka's exact column shape (binary key/value + topic/partition/
+    offset/timestamp metadata) flow through ``parse_messages`` →
+    ``ingest_stream`` → ``apply_batch``, with checkpoint/resume across
+    drains. Only the ``.format("kafka")`` load itself is swapped for a
+    text-file stand-in carrying identical binary payloads (no broker in
+    the sandbox — ``kafka_source`` wires the real load)."""
+    import time
+
+    from searchengine_spark.streaming.ingest import parse_messages
+
+    root = "/tmp/seng_kafka_shaped"
+    kdir = os.path.join(root, "topic")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(kdir)
+
+    def write_topic_file(name, msgs):
+        tmp = os.path.join(kdir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for m in msgs:
+                f.write(json.dumps(m) + "\n")
+        os.replace(tmp, os.path.join(kdir, name))
+
+    def kafka_shaped():
+        raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(kdir)
+        return raw.select(
+            F.lit(None).cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit("transcripts-cdc").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.lit(0).cast("long").alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+        )
+
+    ks = StreamingIndex(spark, os.path.join(root, "store"))
+    ks.bootstrap(transcripts)
+    n0 = transcripts.count()
+    try:
+        write_topic_file("part-0.json", [
+            _msg(1, "zkafka", 0, "kafka shaped zebrakafka document"),
+            _msg(2, "zkafka", 1, "second zebrakafka turn"),
+        ])
+        q = ks.ingest_stream(parse_messages(kafka_shaped()))
+        assert not q.isActive  # availableNow drained and stopped
+        d1 = ks.delta_ids()
+        assert len(d1) == 1 and ks.current_docs().count() == n0 + 2
+        assert sorted(r["doc_id"] for r in ks.search(["zebrakafka"]).collect()) == [
+            "zkafka:0000", "zkafka:0001"
+        ]
+
+        # resume from checkpoint: a new topic file lands; the drained
+        # file must NOT be reprocessed (exactly one new delta)
+        write_topic_file("part-1.json", [
+            _msg(3, "zkafka", 1, "", delete=True),
+            _msg(4, "zkafka", 2, "third zebrakafka message"),
+        ])
+        ks.ingest_stream(parse_messages(kafka_shaped()))
+        d2 = ks.delta_ids()
+        assert len(d2) == len(d1) + 1
+        assert ks.current_docs().count() == n0 + 2  # +1 new, -1 deleted
+        assert sorted(r["doc_id"] for r in ks.search(["zebrakafka"]).collect()) == [
+            "zkafka:0000", "zkafka:0002"
+        ]
+
+        # idempotent re-drain: no new input → no new deltas
+        ks.ingest_stream(parse_messages(kafka_shaped()))
+        assert ks.delta_ids() == d2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
