@@ -30,6 +30,9 @@ class Snapshot:
     snap_id: int
     path: str
     manifest: dict
+    # Iceberg backend only (index/iceberg.py): artifact → {"table":
+    # identifier, "snapshot_id": pin}. None = parquet-dir artifacts.
+    tables: dict | None = None
 
     @property
     def postings_dir(self) -> str:

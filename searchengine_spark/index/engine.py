@@ -64,14 +64,26 @@ class IndexHandle:
     def stats(self) -> dict:
         return self.snapshot.stats
 
+    def _artifact(self, name: str, parquet_dir: str) -> DataFrame:
+        """Parquet dirs (sandbox) or pinned Iceberg tables (prod): the
+        snapshot's ``iceberg_snapshots`` pin makes the read VERSION AS
+        OF publish time, so concurrent republish never tears a query."""
+        t = (self.snapshot.tables or {}).get(name)
+        if t is None:
+            return self.spark.read.parquet(parquet_dir)
+        reader = self.spark.read.format("iceberg")
+        if t.get("snapshot_id") is not None:
+            reader = reader.option("snapshot-id", t["snapshot_id"])
+        return reader.load(t["table"])
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.snapshot.postings_dir)
+        return self._artifact("postings", self.snapshot.postings_dir)
 
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(self.snapshot.terms_dir)
+        return self._artifact("terms", self.snapshot.terms_dir)
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.snapshot.docmap_dir)
+        return self._artifact("docmap", self.snapshot.docmap_dir)
 
     def doc_names(self) -> dict[int, str] | None:
         """Driver-cached doc_int → doc_id, or None when the corpus is
