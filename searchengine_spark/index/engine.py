@@ -333,8 +333,17 @@ def search_index(
     )
 
     theta = 0.0
-    if prune and doc_predicate is None and mode == "or" and st["n_docs"] >= PRUNE_MIN_DOCS:
-        segs, theta = _prune_segments(ix, segs, idfs, k, overfetch)
+    if prune and mode == "or" and st["n_docs"] >= PRUNE_MIN_DOCS:
+        # MUST-filtered queries prune too: θ is established among
+        # ALLOWED docs only (a θ from the unfiltered corpus could
+        # exceed the k-th allowed score → unsound), and every bound
+        # still upper-bounds every doc, allowed or not
+        allowed = (
+            ix.docmap().where(doc_predicate).select("doc_int")
+            if doc_predicate is not None
+            else None
+        )
+        segs, theta = _prune_segments(ix, segs, idfs, k, overfetch, allowed=allowed)
     if mode == "and" and len(terms) > 1:
         # conjunctive segment pruning (exact): segments are doc-aligned
         # across terms, so a doc matching ALL terms can only live in a
@@ -473,7 +482,12 @@ def search_many(
 
 
 def _prune_segments(
-    ix: IndexHandle, segs: DataFrame, idfs: dict[str, float], k: int, overfetch: int
+    ix: IndexHandle,
+    segs: DataFrame,
+    idfs: dict[str, float],
+    k: int,
+    overfetch: int,
+    allowed: DataFrame | None = None,
 ) -> tuple[DataFrame, float]:
     """Block-max segment pruning, fully distributed metadata pass.
 
@@ -484,7 +498,9 @@ def _prune_segments(
        only those ≤ overfetch·k segment ids reach the driver (the old
        formulation collected every matching (term, seg) row: O(segments)
        driver memory, ~1.5 M rows per heavy term at 10^11 docs);
-    3. θ = k-th exact score inside the picked segments;
+    3. θ = k-th exact score inside the picked segments — among
+       ``allowed`` docs only when a MUST filter is in force (the bound
+       side needs no filtering: ub ≥ any doc's score regardless);
     4. survivors (``ub ≥ θ`` ∪ picked) stay a DataFrame, applied via a
        broadcast semi-join — the driver never materializes the survivor
        list either.
@@ -515,15 +531,15 @@ def _prune_segments(
     if not picked:
         return segs, 0.0
     head = segs.where(F.col("seg").isin(picked))
-    exact = (
+    cand = (
         head.select("term", "postings", "block_max_tfnorm")
         .mapInPandas(_make_scorer(idfs, ix.stats["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
         .groupBy("doc_int")
         .agg(F.sum("contrib").alias("sc"))
-        .orderBy(F.desc("sc"))
-        .limit(k)
-        .collect()
     )
+    if allowed is not None:
+        cand = cand.join(allowed, "doc_int", "left_semi")
+    exact = cand.orderBy(F.desc("sc")).limit(k).collect()
     if len(exact) < k:
         return segs, 0.0  # not enough candidates to establish a safe θ
     theta = float(exact[-1]["sc"])

@@ -285,6 +285,14 @@ def test_block_max_pruning_engages_and_is_exact(spark, transcripts, tmp_path_fac
         direct = _pairs(search_direct(transcripts, terms))
         assert pruned == unpruned == direct
 
+    # MUST-filtered queries prune too (θ established among allowed docs)
+    pred = F.col("role") == "assistant"
+    for terms in (["query", "plan", "shuffle"], ["data", "model", "run"]):
+        pruned = _pairs(search_index(ixp, terms, doc_predicate=pred, prune=True))
+        unpruned = _pairs(search_index(ixp, terms, doc_predicate=pred, prune=False))
+        direct = _pairs(search_direct(transcripts, terms, doc_predicate=pred))
+        assert pruned == unpruned == direct
+
     # the prune path must actually produce a positive theta (i.e. it
     # engaged) for a query with more matches than overfetch*k
     segs = ixp.postings().where(F.col("term").isin(["data", "model", "run"]))
