@@ -668,6 +668,31 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     )
 
 
+# benchmark stand-in slice for the contamination query: md5 bucket < 15%
+CONTAM_BENCH_PCT = 15
+
+
+def q_docs_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥50 % of an eval
+    item's 3-gram shingles (containment, not Jaccard). The benchmark
+    stand-in is a deterministic md5-bucket slice of the corpus
+    (engine-portable, like hash_sample), so both engines see the same
+    eval set; its shingles come from the shared shingle cache via a
+    semi-join (no recompute)."""
+    from .ops.sampling import hash_bucket
+
+    sh = shingle_ctx(spark, sf_dir)
+    bench_ids = (
+        _documents(spark, sf_dir)
+        .where(hash_bucket(F.col("doc_id"), "bench") < CONTAM_BENCH_PCT)
+        .select("doc_id")
+    )
+    bsh = sh.join(bench_ids, "doc_id", "left_semi")
+    return OD.contamination_pairs(
+        _documents(spark, sf_dir), bench_ids, shingles=sh, bench_shingles=bsh
+    )
+
+
 def q_docs_dedup_clusters(spark, sf_dir):
     """Duplicate-group formation (the step after pair generation in a
     dedup pipeline): connected components over the MinHash near-dup
@@ -865,6 +890,29 @@ pairs AS (
 )
 SELECT doc_a, doc_b, round(inter / (tot - inter), {S.SCORE_DECIMALS}) AS jaccard
 FROM pairs WHERE inter / (tot - inter) >= {threshold} ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_contamination(threshold: float = 0.5, bench_pct: int = 5) -> str:
+    return f"""{_DOCS_TOKS},
+{_SHINGLES},
+bench AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT % 100 < {bench_pct}
+),
+ex AS (SELECT doc_id, unnest(ss) AS s FROM sh WHERE len(ss) > 0),
+bex AS (
+  SELECT sh.doc_id AS bench_id, len(ss) AS nb, unnest(ss) AS s
+  FROM sh JOIN bench ON sh.doc_id = bench.doc_id WHERE len(ss) > 0
+),
+agg AS (
+  SELECT ex.doc_id, bex.bench_id,
+         CAST(count(*) AS DOUBLE) AS inter, CAST(any_value(nb) AS DOUBLE) AS nb
+  FROM ex JOIN bex ON ex.s = bex.s AND ex.doc_id <> bex.bench_id
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, round(inter / nb, {S.SCORE_DECIMALS}) AS overlap
+FROM agg WHERE inter / nb >= {threshold} ORDER BY doc_id, bench_id
 """
 
 
@@ -1071,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_search": q_stream_upsert_search,
         "search_many_batch": q_search_many_batch,
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_contamination": q_docs_contamination,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_deduped": q_docs_deduped,
         "docs_hash_sample": q_docs_hash_sample,
@@ -1303,6 +1352,7 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, tok_offset,
 FROM o ORDER BY doc_id
 """,
         "docs_ngram_jaccard": _sql_ngram_jaccard(),
+        "docs_contamination": _sql_contamination(bench_pct=CONTAM_BENCH_PCT),
         "docs_simhash": _sql_simhash(),
         "docs_simhash_neardup": _sql_simhash_neardup(),
         "docs_langid": _sql_langid(),

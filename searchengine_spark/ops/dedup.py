@@ -363,3 +363,50 @@ def dedup_apply(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     the measured drop set is actually small)."""
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, overlap) for every
+    corpus doc sharing ≥ ``threshold`` of a benchmark item's word
+    3-gram shingles — the standard eval-contamination pass a training
+    pipeline runs before the corpus ships.
+
+    ``overlap`` is *containment* (|doc ∩ bench| / |bench shingles|),
+    not Jaccard: a long training doc that swallows a whole benchmark
+    item verbatim must flag even though its Jaccard is tiny. No
+    rare-shingle df cap here (unlike :func:`ngram_jaccard_pairs`):
+    dropping hot shingles would miss verbatim inclusions of
+    boilerplate-heavy items, and the join stays bounded anyway — the
+    benchmark side is an eval suite (thousands of items, bounded by
+    construction), broadcast map-side so the corpus shingles never
+    shuffle. Self-pairs (bench drawn from the corpus) are excluded.
+    """
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    bsh = bench_shingles if bench_shingles is not None else doc_shingles(bench)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bex = bsh.select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("shingles").alias("nb"),
+        F.explode("shingles").alias("s"),
+    )
+    hits = ex.join(F.broadcast(bex), "s").where(F.col("doc_id") != F.col("bench_id"))
+    agg = hits.groupBy("doc_id", "bench_id").agg(
+        F.count(F.lit(1)).alias("inter"), F.first("nb").alias("nb")
+    )
+    ov = F.col("inter").cast("double") / F.col("nb").cast("double")
+    return (
+        agg.withColumn("overlap_raw", ov)
+        .where(F.col("overlap_raw") >= threshold)
+        .select(
+            "doc_id", "bench_id",
+            F.round("overlap_raw", S.SCORE_DECIMALS).alias("overlap"),
+        )
+        .orderBy("doc_id", "bench_id")
+    )

@@ -327,3 +327,26 @@ def test_cosine_topk_batch_matches_single(spark):
         assert got == single, qid
     ranks = [r["rank"] for r in batch if r["qid"] == qids[0]]
     assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_contamination_containment_not_jaccard(spark):
+    """A long training doc that swallows a short benchmark item verbatim
+    must flag at overlap 1.0 even though the pair's JACCARD is tiny —
+    the property that makes decontamination containment-based. Unrelated
+    docs must not flag; self-pairs are excluded."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, filler + " " + bench_text + " " + filler),  # swallows bench
+            (2, "completely different content about spark shuffles " * 5),
+            (100, bench_text),  # the bench item itself, also in-corpus
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = docs.where(F.col("doc_id") == 100)
+    out = OD.contamination_pairs(docs, bench, threshold=0.5).collect()
+    assert [(r["doc_id"], r["bench_id"], r["overlap"]) for r in out] == [(1, 100, 1.0)]
+    # sanity: the same pair is far below any jaccard near-dup threshold
+    jac = OD.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=50).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)
