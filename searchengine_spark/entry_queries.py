@@ -668,6 +668,12 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_docs_topk_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (tfidf = tf·ln(N/df), ties
+    broken by term) — doc labeling for pipeline curation."""
+    return OT.topk_keywords(_documents(spark, sf_dir))
+
+
 # benchmark stand-in slice for the contamination query: md5 bucket < 15%
 CONTAM_BENCH_PCT = 15
 
@@ -1120,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_many_batch": q_search_many_batch,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_contamination": q_docs_contamination,
+        "docs_topk_keywords": q_docs_topk_keywords,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_deduped": q_docs_deduped,
         "docs_hash_sample": q_docs_hash_sample,
@@ -1353,6 +1360,24 @@ FROM o ORDER BY doc_id
 """,
         "docs_ngram_jaccard": _sql_ngram_jaccard(),
         "docs_contamination": _sql_contamination(bench_pct=CONTAM_BENCH_PCT),
+        "docs_topk_keywords": f"""{_DOCS_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(idf.df AS DOUBLE)) AS raw
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, raw,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term, round(raw, {S.SCORE_DECIMALS}) AS tfidf
+FROM r WHERE rnk <= 5 ORDER BY doc_id, rank
+""",
         "docs_simhash": _sql_simhash(),
         "docs_simhash_neardup": _sql_simhash_neardup(),
         "docs_langid": _sql_langid(),

@@ -108,3 +108,37 @@ def fingerprints(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
         F.array_sort(F.collect_list("h")).alias("hs")
     )
     return agg.select("doc_id", F.concat_ws("|", F.slice("hs", 1, k)).alias("fingerprint"))
+
+
+def topk_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, rank, term, tfidf) — top-k TF-IDF keywords per document
+    (pipeline curation: topic labels, quality filters, index hints).
+
+    tfidf = tf · ln(N / df) over word tokens; rank by (tfidf desc,
+    term asc) so ties are deterministic cross-engine. All JVM codegen:
+    explode → two map-side-combined aggregations (per-doc tf, corpus
+    df) → broadcast-joinable df table (|vocab| rows) → per-doc window
+    top-k. The window partitions by doc_id — maximal parallelism, no
+    global sort."""
+    from pyspark.sql import Window
+
+    ex = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(df, "term").withColumn(
+        "tfidf_raw",
+        F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "rank", "term",
+            F.round("tfidf_raw", S.SCORE_DECIMALS).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )

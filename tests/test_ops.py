@@ -350,3 +350,23 @@ def test_contamination_containment_not_jaccard(spark):
     # sanity: the same pair is far below any jaccard near-dup threshold
     jac = OD.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=50).collect()
     assert all(r["jaccard"] < 0.5 for r in jac)
+
+
+def test_topk_keywords_ranks_distinctive_terms(spark):
+    """A term unique to one doc must outrank corpus-wide terms; ranks
+    are dense 1..k with deterministic term tie-break."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra zebra unique"),
+            (2, "common words appear here common"),
+            (3, "common words appear here too"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = OT.topk_keywords(docs, k=3).collect()
+    d1 = [(r["rank"], r["term"]) for r in out if r["doc_id"] == 1]
+    # zebra (tf=2, df=1) beats unique (tf=1, df=1) beats common (df=3 → idf=0)
+    assert d1[0] == (1, "zebra") and d1[1] == (2, "unique")
+    for did in (1, 2, 3):
+        ranks = [r["rank"] for r in out if r["doc_id"] == did]
+        assert ranks == list(range(1, len(ranks) + 1))
