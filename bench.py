@@ -218,6 +218,8 @@ def _scaling() -> dict | None:
             n_docs = r["n_docs"]
     except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
         return {"error": str(e)[:200]}
+    if not all(samples[c] for c in pair):
+        return {"error": f"no samples for level(s) {[c for c in pair if not samples[c]]}"}
     n, n4 = pair[0], pair[1]
     t_n, t_n4 = min(samples[n]), min(samples[n4])
     tps_n, tps_n4 = n_docs / t_n, n_docs / t_n4

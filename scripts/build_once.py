@@ -85,8 +85,10 @@ def main() -> None:
         # post-hoc event-log→manifest lineage parse (history-server work)
         dt = float(snap.manifest["build_seconds"])
         n = snap.stats["n_docs"]
-        stages = {k: v.get("seconds") for k, v in snap.manifest["ledger"].items()}
         samples.append(round(dt, 3))
+        # stage audit must describe the rep the headline number reports
+        if dt == min(samples):
+            stages = {k: v.get("seconds") for k, v in snap.manifest["ledger"].items()}
     best = min(samples)
     print(json.dumps({
         "cpus": cpus,

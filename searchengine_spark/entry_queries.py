@@ -65,11 +65,19 @@ def direct_ctx(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, tuple[int, 
 
 
 def clear_direct_cache() -> None:
+    # entries keyed to an already-stopped session raise on unpersist
+    # (dead JVM context) — swallow so one dead entry can't strand the rest
     for tok, _ in _DIRECT_CACHE.values():
-        tok.unpersist()
+        try:
+            tok.unpersist()
+        except Exception:
+            pass
     _DIRECT_CACHE.clear()
     for sh in _SHINGLE_CACHE.values():
-        sh.unpersist()
+        try:
+            sh.unpersist()
+        except Exception:
+            pass
     _SHINGLE_CACHE.clear()
     _EMB_PAIR_CACHE.clear()  # localCheckpoint frames free with the session
     _MINHASH_PAIR_CACHE.clear()

@@ -213,8 +213,12 @@ class IcebergIndexCatalog:
                 f"DELETE FROM {self.ident('manifests')} WHERE snap_id IN ({ids})"
             )
             for a in ARTIFACTS:
+                # retain at least as many table snapshots as manifest rows
+                # still pin them — retain_last => 1 would let Iceberg expire
+                # versions load()/rollback() can still name
                 self.spark.sql(
                     f"CALL {self.cat}.system.expire_snapshots("
-                    f"table => '{self.ns}.{self.index}_{a}', retain_last => 1)"
+                    f"table => '{self.ns}.{self.index}_{a}', "
+                    f"retain_last => {max(keep_last, 1)})"
                 )
         return victims

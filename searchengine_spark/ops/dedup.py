@@ -383,10 +383,13 @@ def contamination_pairs(
     item verbatim must flag even though its Jaccard is tiny. No
     rare-shingle df cap here (unlike :func:`ngram_jaccard_pairs`):
     dropping hot shingles would miss verbatim inclusions of
-    boilerplate-heavy items, and the join stays bounded anyway — the
-    benchmark side is an eval suite (thousands of items, bounded by
-    construction), broadcast map-side so the corpus shingles never
-    shuffle. Self-pairs (bench drawn from the corpus) are excluded.
+    boilerplate-heavy items. The join strategy is left to AQE/size
+    statistics: real eval suites are small enough that the bench
+    shingles get picked for broadcast (map-side, corpus shingles never
+    shuffle), but the hint is not forced — a caller passing a
+    corpus-scale "bench" must not OOM the driver (same discipline as
+    :func:`dedup_apply`). Self-pairs (bench drawn from the corpus) are
+    excluded.
     """
     sh = shingles if shingles is not None else doc_shingles(docs)
     bsh = bench_shingles if bench_shingles is not None else doc_shingles(bench)
@@ -396,7 +399,7 @@ def contamination_pairs(
         F.size("shingles").alias("nb"),
         F.explode("shingles").alias("s"),
     )
-    hits = ex.join(F.broadcast(bex), "s").where(F.col("doc_id") != F.col("bench_id"))
+    hits = ex.join(bex, "s").where(F.col("doc_id") != F.col("bench_id"))
     agg = hits.groupBy("doc_id", "bench_id").agg(
         F.count(F.lit(1)).alias("inter"), F.first("nb").alias("nb")
     )

@@ -127,10 +127,12 @@ def topk_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     df = ex.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    n_docs = docs.count()
-    scored = tf.join(df, "term").withColumn(
+    # N folds into the plan as a one-row cross join (the oracle's shape)
+    # instead of an eager count() — one job per call, not two
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = tf.join(df, "term").crossJoin(n_docs).withColumn(
         "tfidf_raw",
-        F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        F.col("tf").cast("double") * F.log(F.col("_n") / F.col("df").cast("double")),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
     return (
