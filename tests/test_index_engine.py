@@ -397,3 +397,41 @@ def test_multiterm_block_skip_exact(monkeypatch):
     # skipped docs' true totals are provably below θ
     for d in (2, 3):
         assert full[d] < theta and d not in pruned
+
+
+def test_wand_parity_fuzz(spark, tmp_path_factory, monkeypatch):
+    """Randomized exactness audit of the full pruning stack (segment
+    θ-prune + multi-term block-max + filtered θ): random skewed corpora
+    under a forced multi-segment layout must stay rank-identical to the
+    direct path for random 1-3-term queries, with and without a MUST
+    filter. Seeded → deterministic."""
+    import random
+
+    import searchengine_spark.index.engine as E
+
+    monkeypatch.setattr(B, "SEG_SPAN", 32)
+    monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → heavy collisions
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        for d in range(120):
+            n = rng.randint(1, 30)
+            text = " ".join(rng.choices(vocab, weights=range(1, 13), k=n))
+            rows.append((f"c{d:04d}", 0, rng.choice(["user", "assistant"]),
+                         text, "", "2025-01-01T00:00:00"))
+        docs = spark.createDataFrame(
+            rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        cat = IndexCatalog(str(tmp_path_factory.mktemp("fuzz") / f"s{seed}"))
+        build_index(spark, docs, cat, n_buckets=4)
+        ixf = open_index(spark, cat)
+        pred = F.col("role") == "assistant"
+        for _ in range(4):
+            terms = rng.sample(vocab, rng.randint(1, 3))
+            assert _pairs(search_index(ixf, terms, prune=True)) == _pairs(
+                search_direct(docs, terms)
+            ), (seed, terms)
+            assert _pairs(
+                search_index(ixf, terms, doc_predicate=pred, prune=True)
+            ) == _pairs(search_direct(docs, terms, doc_predicate=pred)), (seed, terms, "filtered")
