@@ -766,6 +766,13 @@ def q_docs_fingerprint(spark, sf_dir):
     return OT.fingerprints(_documents(spark, sf_dir))
 
 
+def q_docs_composition(spark, sf_dir):
+    """Dataset-card composition report per (source, lang): doc/token
+    counts, exact-dup rate, mean quality — every ratio derived from
+    integer sums so aggregation order can't flip the value hash."""
+    return OT.composition(_documents(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     return OM.extract_features(OM.with_binary_payload(_documents(spark, sf_dir)))
 
@@ -927,6 +934,37 @@ agg AS (
 )
 SELECT doc_id, bench_id, round(inter / nb, {S.SCORE_DECIMALS}) AS overlap
 FROM agg WHERE inter / nb >= {threshold} ORDER BY doc_id, bench_id
+"""
+
+
+def _sql_composition() -> str:
+    return f"""{_DOCS_TOKS},
+d AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq,
+         len(list_filter(t, x -> x IN ({_stop_sql()}))) AS n_stop
+  FROM toks
+),
+qual AS (
+  SELECT doc_id, n_tokens,
+         round(least(n_tokens / 20.0, 1.0)
+               * (n_uniq / CAST(greatest(n_tokens, 1) AS DOUBLE))
+               * (1.0 - abs(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) - 0.4)),
+               {S.SCORE_DECIMALS}) AS quality_score
+  FROM d
+),
+base AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+agg AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+         count(DISTINCT h) AS n_uniq_texts,
+         CAST(sum(CAST(round(quality_score * 10000) AS BIGINT)) AS BIGINT) AS qsum
+  FROM base JOIN qual q USING (doc_id) GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / n_docs, {S.SCORE_DECIMALS}) AS mean_tokens,
+       round(1.0 - CAST(n_uniq_texts AS DOUBLE) / n_docs, {S.SCORE_DECIMALS}) AS dup_rate,
+       round(CAST(qsum AS DOUBLE) / (10000.0 * n_docs), {S.SCORE_DECIMALS}) AS mean_quality
+FROM agg ORDER BY source, lang
 """
 
 
@@ -1135,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_contamination": q_docs_contamination,
         "docs_topk_keywords": q_docs_topk_keywords,
+        "docs_composition": q_docs_composition,
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_deduped": q_docs_deduped,
         "docs_hash_sample": q_docs_hash_sample,
@@ -1390,6 +1429,7 @@ FROM r WHERE rnk <= 5 ORDER BY doc_id, rank
         "docs_simhash_neardup": _sql_simhash_neardup(),
         "docs_langid": _sql_langid(),
         "docs_quality": _sql_quality(),
+        "docs_composition": _sql_composition(),
         "docs_fingerprint": _sql_fingerprint(),
         "multimodal_features": _sql_multimodal(),
         # this DuckDB build cannot slice BLOBs — but slicing the hex

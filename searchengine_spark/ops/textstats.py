@@ -144,3 +144,37 @@ def topk_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+def composition(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, total_tokens, mean_tokens, dup_rate,
+    mean_quality) — the dataset-card composition report a training
+    pipeline publishes with every corpus release.
+
+    Cross-engine float determinism by construction: every ratio is
+    derived from INTEGER sums only (token counts, distinct-text counts,
+    and quality folded to an integer basis via round(q·10⁴) BEFORE
+    summing), so aggregation order — which differs between engines and
+    between runs — can never flip the value hash. One shuffle on the
+    (source, lang) grouping key; the quality/token metrics ride the
+    same pass."""
+    q = quality(docs).select("doc_id", "n_tokens", "quality_score")
+    base = docs.select("doc_id", "source", "lang", F.md5(F.col("text")).alias("h"))
+    agg = (
+        base.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count_distinct("h").alias("n_uniq_texts"),
+            F.sum(F.round(F.col("quality_score") * 10000).cast("long")).alias("qsum"),
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "source", "lang", "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(F.col("total_tokens").cast("double") / nd, S.SCORE_DECIMALS).alias("mean_tokens"),
+        F.round(F.lit(1.0) - F.col("n_uniq_texts").cast("double") / nd, S.SCORE_DECIMALS).alias("dup_rate"),
+        F.round(F.col("qsum").cast("double") / (F.lit(10000.0) * nd), S.SCORE_DECIMALS).alias("mean_quality"),
+    ).orderBy("source", "lang")

@@ -370,3 +370,22 @@ def test_topk_keywords_ranks_distinctive_terms(spark):
     for did in (1, 2, 3):
         ranks = [r["rank"] for r in out if r["doc_id"] == did]
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_composition_integer_derived_ratios(spark):
+    """Dataset-card report: dup_rate counts exact text copies within a
+    (source, lang) group; ratios derive from integer sums only."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, "alpha beta gamma", "en", "web", 16),   # exact dup
+            (3, "delta epsilon", "en", "web", 13),
+            (4, "un texto corto", "es", "web", 14),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    rows = {(r["source"], r["lang"]): r for r in OT.composition(docs).collect()}
+    en = rows[("web", "en")]
+    assert en["n_docs"] == 3 and en["total_tokens"] == 8
+    assert en["dup_rate"] == round(1 - 2 / 3, 4)
+    assert rows[("web", "es")]["dup_rate"] == 0.0
