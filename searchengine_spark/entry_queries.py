@@ -797,6 +797,24 @@ def _embeddings(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search (the vector-DB 'filtered ANN'
+    op): top-k cosine neighbors of vec 0 restricted to its own label
+    class. The label predicate lands BEFORE scoring, so the corpus scan
+    prunes to the class — on a label-partitioned store this is
+    directory pruning, not a post-filter."""
+    e = _embeddings(spark, sf_dir)
+    lbl = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("label").alias("qlabel"))
+    )
+    fe = (
+        e.crossJoin(lbl)
+        .where(F.col("label") == F.col("qlabel"))
+        .select("vec_id", "embedding")
+    )
+    return OA.cosine_topk(fe, 0)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH ANN over the MATERIALIZED store: the probe reads only
     the query's ``bucket=…`` partition directory (built once per sf by
@@ -1166,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "bm25_indexed_single": q_bm25_indexed_single,
         "bm25_indexed_multi": q_bm25_indexed_multi,
         "stream_upsert_search": q_stream_upsert_search,
@@ -1325,6 +1344,20 @@ SELECT vec_id,
              / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))),
              {S.SCORE_DECIMALS}) AS cos_sim
 FROM e, q WHERE vec_id <> 0
+ORDER BY list_dot_product(emb, qemb)
+         / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) DESC,
+         vec_id ASC
+LIMIT 10
+""",
+        "ann_filtered_topk": f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ql AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(emb, qemb)
+             / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))),
+             {S.SCORE_DECIMALS}) AS cos_sim
+FROM e, q, ql WHERE e.label = ql.qlabel AND vec_id <> 0
 ORDER BY list_dot_product(emb, qemb)
          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb))) DESC,
          vec_id ASC

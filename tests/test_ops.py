@@ -389,3 +389,20 @@ def test_composition_integer_derived_ratios(spark):
     assert en["n_docs"] == 3 and en["total_tokens"] == 8
     assert en["dup_rate"] == round(1 - 2 / 3, 4)
     assert rows[("web", "es")]["dup_rate"] == 0.0
+
+
+def test_filtered_ann_restricts_to_class(spark):
+    """Filtered vector search: results come only from the query's label
+    class, and within the class match unfiltered brute-force ranking."""
+    import math
+
+    rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 5)], i % 2)
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    fe = emb.where(F.col("label") == 0).select("vec_id", "embedding")
+    got = [(r["vec_id"], r["cos_sim"]) for r in OA.cosine_topk(fe, 0, k=5).collect()]
+    assert len(got) == 5 and all(v % 2 == 0 for v, _ in got)
+    full = {r["vec_id"]: r["cos_sim"] for r in OA.cosine_topk(emb, 0, k=40).collect()}
+    want = sorted(((v, s) for v, s in full.items() if v % 2 == 0),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert got == want
