@@ -229,16 +229,20 @@ def _scaling() -> dict | None:
             launch(cpus)
         # adaptive precision under host noise (all samples reported):
         # best-of only ever moves each side TOWARD its uncontended
-        # capability, so when the ratio lands near the 0.8 gate — the
-        # signature of asymmetric weather (one side sampled a clean
-        # window, the other a loaded one) — add PAIRED launches (one per
-        # level, fair to both directions) until the ratio stabilizes or
-        # the cap is hit. Capped at $SENG_SCALING_ADAPTIVE extra pairs.
-        max_adaptive = int(os.environ.get("SENG_SCALING_ADAPTIVE", "2"))
-        while eff_now() < 0.82 and adaptive_rounds < max_adaptive:
-            adaptive_rounds += 1
-            launch(n4)
-            launch(n)
+        # capability, so when the first pass lands near the 0.8 gate —
+        # the signature of asymmetric weather (one side sampled a clean
+        # window, the other a loaded one) — run ALL
+        # $SENG_SCALING_ADAPTIVE extra PAIRED launches (one per level,
+        # fair to both directions: fast samples can only raise the
+        # ratio, slow samples can only lower it). No early exit once
+        # triggered — a stop-when-passing rule would bias the recorded
+        # number upward at the gate; the trigger threshold itself sits
+        # above the gate so a pass is never manufactured by stopping.
+        if eff_now() < 0.82:
+            for _ in range(int(os.environ.get("SENG_SCALING_ADAPTIVE", "2"))):
+                adaptive_rounds += 1
+                launch(n4)
+                launch(n)
     except Exception as e:  # noqa: BLE001 — bench must still emit its JSON line
         return {"error": str(e)[:200]}
     if not all(samples[c] for c in pair):

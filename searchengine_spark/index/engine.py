@@ -332,17 +332,20 @@ def search_index(
         .where(F.col("term").isin(terms))
     )
 
+    # ONE allowed-docs frame serves both the θ-establishment inside
+    # _prune_segments and the post-aggregation MUST semi-join below —
+    # the pruning proof requires both sides to use the same predicate
+    allowed = (
+        ix.docmap().where(doc_predicate).select("doc_int")
+        if doc_predicate is not None
+        else None
+    )
     theta = 0.0
     if prune and mode == "or" and st["n_docs"] >= PRUNE_MIN_DOCS:
         # MUST-filtered queries prune too: θ is established among
         # ALLOWED docs only (a θ from the unfiltered corpus could
         # exceed the k-th allowed score → unsound), and every bound
         # still upper-bounds every doc, allowed or not
-        allowed = (
-            ix.docmap().where(doc_predicate).select("doc_int")
-            if doc_predicate is not None
-            else None
-        )
         segs, theta = _prune_segments(ix, segs, idfs, k, overfetch, allowed=allowed)
     if mode == "and" and len(terms) > 1:
         # conjunctive segment pruning (exact): segments are doc-aligned
@@ -369,12 +372,11 @@ def search_index(
     agg = scored.groupBy("doc_int").agg(
         F.sum("contrib").alias("score_raw"), F.count(F.lit(1)).alias("_nt")
     )
-    if doc_predicate is not None:
+    if allowed is not None:
         # MUST filter commutes with per-doc aggregation (it drops whole
         # docs, never individual term contributions) — joining AFTER the
         # groupBy semi-joins the few aggregated rows instead of every
         # (term, doc) contribution row
-        allowed = ix.docmap().where(doc_predicate).select("doc_int")
         agg = agg.join(allowed, "doc_int", "left_semi")
     if mode == "and":
         # one scorer row per (term, doc) → row count == matched terms

@@ -68,6 +68,25 @@ def next_ids(rows: list[dict]) -> tuple[int, int]:
     return max(r["snap_id"] for r in rows) + 1, max(r["seq"] for r in rows) + 1
 
 
+def expirable_pins(rows: list[dict], victims: set[int]) -> dict[str, list[int]]:
+    """Per artifact, the Iceberg snapshot ids pinned ONLY by victim
+    manifest rows — the exact set safe to expire. Any id a retained row
+    (including a rollback re-pointer) still names survives, no matter
+    how deep it sits in table history."""
+    pins: dict[str, set[int]] = {}
+    kept: dict[str, set[int]] = {}
+    for r in rows:
+        m = json.loads(r["manifest"]).get("iceberg_snapshots", {})
+        dst = pins if r["snap_id"] in victims else kept
+        for a, sid in m.items():
+            dst.setdefault(a, set()).add(int(sid))
+    return {
+        a: sorted(ids - kept.get(a, set()))
+        for a, ids in pins.items()
+        if ids - kept.get(a, set())
+    }
+
+
 class IcebergIndexCatalog:
     """Drop-in :class:`.catalog.IndexCatalog` replacement over Iceberg.
 
@@ -203,22 +222,29 @@ class IcebergIndexCatalog:
 
     def expire(self, keep_last: int = 3) -> list[int]:
         """Expire old snapshot pins: drop manifest rows beyond the
-        newest ``keep_last`` snap_ids (never CURRENT), then let Iceberg
-        reclaim unreachable data files via ``expire_snapshots``."""
+        newest ``keep_last`` snap_ids (never CURRENT), then reclaim
+        their data by expiring EXACTLY the Iceberg table snapshots the
+        victim rows pinned — minus any still pinned by a retained row.
+        (``retain_last`` counts table-history depth, which after a
+        rollback is unrelated to which versions the retained manifest
+        rows actually name — it could expire the CURRENT pin.)"""
+        rows = self._rows()
         cur = self.current_id()
         victims = [s for s in self.history()[:-keep_last] if s != cur]
-        if victims:
-            ids = ", ".join(str(v) for v in victims)
-            self.spark.sql(
-                f"DELETE FROM {self.ident('manifests')} WHERE snap_id IN ({ids})"
-            )
-            for a in ARTIFACTS:
-                # retain at least as many table snapshots as manifest rows
-                # still pin them — retain_last => 1 would let Iceberg expire
-                # versions load()/rollback() can still name
+        if not victims:
+            return victims
+        expirable = expirable_pins(rows, set(victims))
+        ids = ", ".join(str(v) for v in victims)
+        self.spark.sql(
+            f"DELETE FROM {self.ident('manifests')} WHERE snap_id IN ({ids})"
+        )
+        for a in ARTIFACTS:
+            dead = expirable.get(a, [])
+            if dead:
+                arr = ", ".join(f"{d}L" for d in dead)
                 self.spark.sql(
                     f"CALL {self.cat}.system.expire_snapshots("
                     f"table => '{self.ns}.{self.index}_{a}', "
-                    f"retain_last => {max(keep_last, 1)})"
+                    f"snapshot_ids => ARRAY({arr}))"
                 )
         return victims

@@ -166,9 +166,35 @@ class StreamingIndex:
     # ingest
     # ------------------------------------------------------------------
 
-    def ingest_stream(self, messages: DataFrame, *, drain: bool = True):
-        """Attach the delta-publishing sink to ANY typed message stream
-        — the one production entry point for every source (S9-S11):
+    def _claim_source(self, tag: str) -> None:
+        """One index = ONE logical input stream (the reference runs one
+        subscriber per index). The checkpoint's offset log is bound to
+        its source; resuming it with a different source type fails deep
+        inside Spark (or, worse, a fresh checkpoint would restart epoch
+        ids at 0 and overwrite published deltas) — so the first attach
+        claims the root with a marker and later mismatches raise a
+        clear contract error instead."""
+        marker = os.path.join(self.root, "SOURCE")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = f.read().strip()
+            if prev != tag:
+                raise ValueError(
+                    f"StreamingIndex at {self.root} is bound to source "
+                    f"'{prev}'; attaching '{tag}' would resume an "
+                    "incompatible Structured Streaming checkpoint. One "
+                    "index = one logical input stream — use a separate "
+                    "StreamingIndex root per source."
+                )
+        else:
+            with open(marker, "w") as f:
+                f.write(tag)
+
+    def ingest_stream(
+        self, messages: DataFrame, *, drain: bool = True, source_tag: str = "stream"
+    ):
+        """Attach the delta-publishing sink to a typed message stream —
+        the one production entry point (S9-S11):
 
             six.ingest_stream(kafka_source(spark, brokers, topic))
             six.ingest_stream(socket_source(spark, host, port), drain=False)
@@ -182,7 +208,10 @@ class StreamingIndex:
         query and returns it running (live push sources like sockets).
         Either way each micro-batch lands as one immutable delta via
         :meth:`apply_batch`, and a crash resumes from the checkpoint
-        without reapplying published epochs."""
+        without reapplying published epochs. An index is bound to ONE
+        source for its lifetime (``source_tag``; see
+        :meth:`_claim_source`)."""
+        self._claim_source(source_tag)
         writer = (
             messages.writeStream
             .foreachBatch(lambda df, eid: self.apply_batch(df, eid))
@@ -207,7 +236,7 @@ class StreamingIndex:
             .option("maxFilesPerTrigger", max_files_per_trigger or 1)
             .json(source_dir)
         )
-        return self.ingest_stream(reader)
+        return self.ingest_stream(reader, source_tag="files")
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """One micro-batch → one immutable delta dir (idempotent by name:

@@ -112,3 +112,34 @@ def test_live_iceberg_backend(tmp_path_factory, transcripts):
     ix2 = open_index(spark, cat)
     back = [(r["doc_id"], r["score"]) for r in search_index(ix2, ["spark", "query"]).collect()]
     assert back == want
+
+
+def test_expirable_pins_respect_rollback_repointer():
+    """A rollback row re-pins an OLD snapshot's table versions; expire
+    must never name those ids even when the old snap_id is a victim by
+    age — only ids pinned exclusively by victim rows are expirable."""
+    import json as j
+
+    from searchengine_spark.index.iceberg import expirable_pins
+
+    def row(seq, snap, pins):
+        return {"seq": seq, "snap_id": snap,
+                "manifest": j.dumps({"iceberg_snapshots": pins})}
+
+    rows = [
+        row(1, 1, {"postings": 101, "docmap": 201, "terms": 301}),
+        row(2, 2, {"postings": 102, "docmap": 202, "terms": 302}),
+        row(3, 3, {"postings": 103, "docmap": 203, "terms": 303}),
+        row(4, 1, {"postings": 101, "docmap": 201, "terms": 301}),  # rollback → CURRENT=1
+    ]
+    # CURRENT=1 is excluded from victims upstream (expire never names
+    # the current snap), so the rollback re-pointer keeps snap 1's table
+    # versions alive: victim={2} expires only snap 2's pins — this is
+    # the case retain_last=N got wrong (1's pins sit deepest in history)
+    assert expirable_pins(rows, {2}) == {
+        "postings": [102], "docmap": [202], "terms": [302]
+    }
+    # shared pins survive: if snap 4 re-published pinning the same table
+    # version as a retained snap, expiring snap 4 must not name it
+    rows2 = rows + [row(5, 4, {"postings": 103, "docmap": 204, "terms": 304})]
+    assert expirable_pins(rows2, {4}) == {"docmap": [204], "terms": [304]}

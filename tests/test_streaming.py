@@ -357,3 +357,27 @@ def test_kafka_shaped_stream_end_to_end(spark, transcripts):
         assert ks.delta_ids() == d2
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_one_stream_per_index_contract(spark, transcripts):
+    """Attaching a second source type to an index that already ingested
+    from another must raise the contract error (not fail deep inside
+    Spark's checkpoint offset log, nor silently overwrite deltas)."""
+    root = "/tmp/seng_source_claim"
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(json.dumps(_msg(1, "claim", 0, "first source")) + "\n")
+    s = StreamingIndex(spark, os.path.join(root, "store"))
+    s.bootstrap(transcripts.limit(50))
+    try:
+        s.ingest_files(src)
+        from searchengine_spark.streaming.ingest import message_schema
+
+        other = spark.readStream.schema(message_schema()).json(src)
+        with pytest.raises(ValueError, match="bound to source 'files'"):
+            s.ingest_stream(other)  # default tag 'stream' != 'files'
+        s.ingest_files(src)  # same source stays fine (no-op drain)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
