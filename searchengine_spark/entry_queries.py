@@ -379,6 +379,8 @@ def q_docs_exact_dedup(spark, sf_dir):
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") >= 1)
+        # deterministic order: don't rely on the driver's row-sort
+        .orderBy("keep_id")
     )
 
 
@@ -743,7 +745,7 @@ def q_docs_pack_sequences(spark, sf_dir):
 
 
 def q_docs_simhash(spark, sf_dir):
-    return OD.simhash_signatures(_documents(spark, sf_dir))
+    return OD.simhash_signatures(_documents(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_docs_simhash_neardup(spark, sf_dir):
@@ -1322,7 +1324,7 @@ ORDER BY doc_id
 """,
         "docs_exact_dedup": """
 SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY text
+FROM documents GROUP BY text ORDER BY keep_id
 """,
         "docs_token_stats": f"""
 WITH d AS (
