@@ -41,17 +41,38 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import semantics as S
 from ..functions.text import doc_id_col, tokens_no_stop
-from ..index.build import SEGMENT_SCHEMA, _make_segment_encoder, bucket_col, build_index
+from ..index.build import (
+    SEGMENT_SCHEMA,
+    _make_segment_encoder,
+    bucket_col,
+    build_index,
+    partition_offsets,
+    with_doc_int,
+)
 from ..index.catalog import IndexCatalog
 from ..index.codec import SEG_SPAN
 from ..index.engine import IndexHandle, _idf, _make_scorer
+
+# doc-count threshold above which apply_batch switches from the single
+# window doc_int assignment to the two-phase committed-parquet scan
+# (same pattern as the batch build) — keeps tiny micro-batches cheap
+# (one job) while large CDC batches never funnel through one task
+LARGE_BATCH_DOCS = 65536
+
+# source helpers tag the DataFrames they return so ingest_stream can
+# bind the index root to a *specific* source (kafka topic / socket
+# endpoint), not just "stream" — a kafka→socket swap must trip the
+# checkpoint-compat guard in _claim_source
+_SOURCE_TAGS: "weakref.WeakKeyDictionary[DataFrame, str]" = weakref.WeakKeyDictionary()
 
 DOC_FIELDS = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
 
@@ -90,7 +111,9 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
         .option("subscribe", topic)
         .load()
     )
-    return parse_messages(raw.withColumn("value", F.col("value")))
+    out = parse_messages(raw.withColumn("value", F.col("value")))
+    _SOURCE_TAGS[out] = f"kafka:{brokers}/{topic}"
+    return out
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
@@ -110,7 +133,9 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
         .option("port", str(port))
         .load()
     )
-    return parse_messages(raw, value_col="value")
+    out = parse_messages(raw, value_col="value")
+    _SOURCE_TAGS[out] = f"socket:{host}:{port}"
+    return out
 
 
 class StreamingIndex:
@@ -133,6 +158,11 @@ class StreamingIndex:
         self.delta_root = os.path.join(root, "deltas")
         self.checkpoint = os.path.join(root, "checkpoint")
         os.makedirs(self.delta_root, exist_ok=True)
+        # serializes delta publication vs compaction: a continuous
+        # (drain=False) query's apply_batch and compact() race on the
+        # base snapshot + delta log; the lock makes each micro-batch
+        # land entirely before or entirely after a base swap
+        self._write_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # bootstrap / delta log
@@ -187,11 +217,39 @@ class StreamingIndex:
                     "StreamingIndex root per source."
                 )
         else:
-            with open(marker, "w") as f:
+            # atomic publish: a crash mid-write must not leave a
+            # partial marker that locks the root out of ingestion
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(tag)
+            os.replace(tmp, marker)
+
+    @staticmethod
+    def _derive_source_tag(messages: DataFrame) -> str:
+        """Distinct tag per source type/endpoint, so swapping e.g. a
+        kafka topic for a socket feed trips :meth:`_claim_source` (the
+        two sources' checkpoints are not interchangeable). Helpers in
+        this module tag the frames they return; otherwise the analyzed
+        plan is sniffed for the source class as a fallback."""
+        tag = _SOURCE_TAGS.get(messages)
+        if tag:
+            return tag
+        try:
+            plan = messages._jdf.queryExecution().analyzed().toString().lower()
+        except Exception:
+            return "stream"
+        import re
+
+        m = re.search(r"filesource\[([^\]]+)\]", plan)
+        if m:
+            return f"files:{os.path.abspath(m.group(1))}"
+        for key in ("kafka", "socket", "rate"):
+            if key in plan:
+                return key
+        return "stream"
 
     def ingest_stream(
-        self, messages: DataFrame, *, drain: bool = True, source_tag: str = "stream"
+        self, messages: DataFrame, *, drain: bool = True, source_tag: str | None = None
     ):
         """Attach the delta-publishing sink to a typed message stream —
         the one production entry point (S9-S11):
@@ -209,9 +267,10 @@ class StreamingIndex:
         Either way each micro-batch lands as one immutable delta via
         :meth:`apply_batch`, and a crash resumes from the checkpoint
         without reapplying published epochs. An index is bound to ONE
-        source for its lifetime (``source_tag``; see
-        :meth:`_claim_source`)."""
-        self._claim_source(source_tag)
+        source for its lifetime — the tag is derived per source
+        type/endpoint (kafka topic, socket host:port, file dir) unless
+        ``source_tag`` overrides it; see :meth:`_claim_source`."""
+        self._claim_source(source_tag or self._derive_source_tag(messages))
         writer = (
             messages.writeStream
             .foreachBatch(lambda df, eid: self.apply_batch(df, eid))
@@ -236,11 +295,27 @@ class StreamingIndex:
             .option("maxFilesPerTrigger", max_files_per_trigger or 1)
             .json(source_dir)
         )
-        return self.ingest_stream(reader, source_tag="files")
+        return self.ingest_stream(reader, source_tag=f"files:{os.path.abspath(source_dir)}")
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """One micro-batch → one immutable delta dir (idempotent by name:
-        a re-delivered epoch overwrites the same delta)."""
+        a re-delivered epoch overwrites the same delta).
+
+        No per-doc state crosses the driver: the batch's tombstone set
+        (every touched doc_id — an upsert tombstones the previous
+        version) is written as ``tombstones/`` parquet inside the delta
+        and later consumed via joins (:meth:`current_docs`,
+        :meth:`search`); ``meta.json`` carries only counts. A large CDC
+        batch (10^6+ upserts in one epoch) therefore never builds a
+        driver list or an ``isin`` literal tree. doc_int assignment
+        likewise switches to the batch build's two-phase
+        committed-parquet scan above ``LARGE_BATCH_DOCS`` — below it a
+        single-window row_number keeps tiny micro-batches at one job.
+        """
+        with self._write_lock:
+            self._apply_batch_locked(batch, epoch_id)
+
+    def _apply_batch_locked(self, batch: DataFrame, epoch_id: int) -> None:
         t0 = time.perf_counter()
         ddir = os.path.join(self.delta_root, f"delta-{epoch_id}")
         tmp = os.path.join(self.delta_root, f".tmp-{epoch_id}")
@@ -264,25 +339,55 @@ class StreamingIndex:
                 F.col("doc.ts").cast("timestamp_ntz").alias("ts"),
             )
         )
-        tombstones = [r["doc_id"] for r in last.select("doc_id").collect()]
-        upserts.write.mode("overwrite").parquet(os.path.join(tmp, "upserts"))
+        from pyspark.sql import Observation
+
+        tomb_obs = Observation(f"tombstones_{epoch_id}")
+        last.select("doc_id").observe(tomb_obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(os.path.join(tmp, "tombstones"))
+        n_tombstones = int(tomb_obs.get["n"])
+        if n_tombstones == 0:
+            # empty trigger (e.g. socket batch 0): nothing to apply —
+            # don't publish an empty delta
+            last.unpersist()
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        up_obs = Observation(f"upserts_{epoch_id}")
+        upserts.observe(up_obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(os.path.join(tmp, "upserts"))
+        n_up = int(up_obs.get["n"])
 
         # --- mini index over the new rows (same layout as the base) ----
         up = self.spark.read.parquet(os.path.join(tmp, "upserts"))
         start = self._next_doc_int()
-        # micro-batches are small relative to the corpus: a single-window
-        # row_number is fine here (the batch build path stays windowless)
-        tok = (
-            up.select(
-                doc_id_col().alias("doc_id"), "conv_id", "turn_idx", "role", "tool", "ts",
-                tokens_no_stop("text").alias("tokens"),
+        analyzed = up.select(
+            doc_id_col().alias("doc_id"), "conv_id", "turn_idx", "role", "tool", "ts",
+            tokens_no_stop("text").alias("tokens"),
+        ).withColumn("dl", F.size("tokens"))
+        if n_up > LARGE_BATCH_DOCS:
+            # two-phase scalable zipWithIndex (same as the batch build):
+            # range-partition by doc_id, stamp (_pid, _rank), commit,
+            # then doc_int = start + offset[_pid] + _rank from the
+            # committed files' parquet footers — no global window
+            p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            raw_dir = os.path.join(tmp, "docmap_raw")
+            (
+                analyzed.repartitionByRange(p, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .withColumn("_pid", F.spark_partition_id())
+                .withColumn(
+                    "_rank",
+                    F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+                )
+                .write.mode("overwrite").parquet(raw_dir)
             )
-            .withColumn("dl", F.size("tokens"))
-            .withColumn(
+            offsets = partition_offsets(raw_dir, expected_rows=n_up)
+            tok = with_doc_int(self.spark.read.parquet(raw_dir), offsets) \
+                .withColumn("doc_int", F.col("doc_int") + F.lit(start))
+        else:
+            tok = analyzed.withColumn(
                 "doc_int",
                 F.lit(start) + F.row_number().over(Window.orderBy("doc_id")) - F.lit(1),
             )
-        )
         tok.select("doc_int", "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl") \
             .write.mode("overwrite").parquet(os.path.join(tmp, "docmap"))
 
@@ -301,13 +406,14 @@ class StreamingIndex:
 
         dm = self.spark.read.parquet(os.path.join(tmp, "docmap"))
         row = dm.agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl")).collect()[0]
+        shutil.rmtree(os.path.join(tmp, "docmap_raw"), ignore_errors=True)
         meta = {
             "epoch": int(epoch_id),
             "n_docs": int(row["n"]),
             "sum_dl": int(row["sdl"]),
             "doc_int_start": start,
             "doc_int_end": start + int(row["n"]),
-            "tombstones": sorted(tombstones),
+            "n_tombstones": n_tombstones,
             "seconds": round(time.perf_counter() - t0, 3),
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -320,19 +426,35 @@ class StreamingIndex:
     # merge-on-read views
     # ------------------------------------------------------------------
 
-    def _tombstoned_doc_ids(self, before: int | None = None) -> set[str]:
-        out: set[str] = set()
-        for did in self.delta_ids():
-            if before is None or did < before:
-                out.update(self._delta_meta(did)["tombstones"])
-        return out
+    def _tombstone_frame(self, deltas: list[int]) -> DataFrame | None:
+        """(doc_id, _tomb_v) — the LATEST delta that tombstoned each
+        doc_id, read from the per-delta ``tombstones/`` parquet (never
+        the driver). Delta version ids strictly increase with doc_int
+        ranges, so "dead" checks reduce to comparing a row's version
+        (or doc_int) against its doc's max tombstoning delta."""
+        parts = []
+        for did in deltas:
+            t = self.spark.read.parquet(
+                os.path.join(self.delta_root, f"delta-{did}", "tombstones")
+            ).withColumn("_td", F.lit(did))
+            parts.append(t)
+        if not parts:
+            return None
+        allt = parts[0]
+        for p in parts[1:]:
+            allt = allt.unionByName(p)
+        return allt.groupBy("doc_id").agg(F.max("_td").alias("_tomb_v"))
 
     def current_docs(self) -> DataFrame:
         """Live corpus view: base ∖ tombstones ∪ latest upsert per doc
-        (merge-on-read; prod = Iceberg MERGE with positional deletes)."""
+        (merge-on-read; prod = Iceberg MERGE with positional deletes).
+        Tombstones are applied with a left join against the delta
+        tombstone parquet — scale-safe for arbitrarily large CDC
+        batches (no driver lists, no ``isin`` literal trees)."""
+        deltas = self.delta_ids()
         base = self.spark.read.parquet(self.docs_base).withColumn("_v", F.lit(-1))
         parts = [base]
-        for did in self.delta_ids():
+        for did in deltas:
             up = self.spark.read.parquet(
                 os.path.join(self.delta_root, f"delta-{did}", "upserts")
             ).withColumn("_v", F.lit(did))
@@ -340,17 +462,17 @@ class StreamingIndex:
         allv = parts[0]
         for p in parts[1:]:
             allv = allv.unionByName(p)
-        tomb_by_delta = [
-            (did, self._delta_meta(did)["tombstones"]) for did in self.delta_ids()
-        ]
-        did_col = doc_id_col()
-        keep = allv.withColumn("_doc_id", did_col)
-        # a row of version v is dead iff some delta > v tombstones its doc_id
-        dead = F.lit(False)
-        for did, tombs in tomb_by_delta:
-            if tombs:
-                dead = dead | ((F.col("_v") < F.lit(did)) & F.col("_doc_id").isin(tombs))
-        return keep.where(~dead).drop("_v", "_doc_id")
+        tomb = self._tombstone_frame(deltas)
+        if tomb is None:
+            return allv.drop("_v")
+        keep = allv.withColumn("doc_id", doc_id_col())
+        # a row of version v is dead iff some delta > v tombstones its
+        # doc_id ⇔ v < max tombstoning delta (AQE broadcasts when small)
+        return (
+            keep.join(tomb, "doc_id", "left")
+            .where(F.col("_tomb_v").isNull() | (F.col("_v") >= F.col("_tomb_v")))
+            .drop("_v", "_tomb_v", "doc_id")
+        )
 
     # ------------------------------------------------------------------
     # live search (base + deltas, Lucene-style live stats)
@@ -413,17 +535,32 @@ class StreamingIndex:
             .agg(F.sum("contrib").alias("score_raw"))
         )
         # exclude dead versions: doc_int belongs to base (v=-1) or the
-        # delta that minted it; dead iff a later delta tombstoned the id
+        # delta that minted it; dead iff a later delta tombstoned the
+        # id ⇔ doc_int < doc_int_start of the max tombstoning delta
+        # (delta doc_int ranges are disjoint and ascending). The
+        # tombstone set stays distributed: a left join against the
+        # delta tombstone parquet, with the tiny delta→start map as a
+        # literal MAP expression (O(#deltas), not O(#docs)).
         hydrated = scored.join(docmap, "doc_int")
-        dead = F.lit(False)
-        for did in deltas:
-            tombs = self._delta_meta(did)["tombstones"]
-            if tombs:
-                start = self._delta_meta(did)["doc_int_start"]
-                dead = dead | ((F.col("doc_int") < F.lit(start)) & F.col("doc_id").isin(tombs))
+        tomb = self._tombstone_frame(deltas)
+        if tomb is not None:
+            start_map = F.create_map(
+                *[
+                    x
+                    for did in deltas
+                    for x in (F.lit(did), F.lit(self._delta_meta(did)["doc_int_start"]))
+                ]
+            )
+            hydrated = (
+                hydrated.join(tomb, "doc_id", "left")
+                .where(
+                    F.col("_tomb_v").isNull()
+                    | (F.col("doc_int") >= start_map[F.col("_tomb_v")])
+                )
+                .drop("_tomb_v")
+            )
         return (
-            hydrated.where(~dead)
-            .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+            hydrated.orderBy(F.desc("score_raw"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"))
         )
@@ -435,18 +572,28 @@ class StreamingIndex:
     def compact(self) -> None:
         """Fold deltas into a new base: materialize ``current_docs()``,
         rebuild the index snapshot (atomic publish), drop the delta log.
-        After this, ``search()`` is rank-identical to the direct path."""
-        deltas = self.delta_ids()
-        if not deltas:
-            return
-        tmp_docs = self.docs_base + ".compact"
-        self.current_docs().write.mode("overwrite").parquet(tmp_docs)
-        # swap corpus, then rebuild + publish index from the new base
-        old = self.docs_base + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(self.docs_base, old)
-        os.replace(tmp_docs, self.docs_base)
-        shutil.rmtree(old, ignore_errors=True)
-        build_index(self.spark, self.spark.read.parquet(self.docs_base), self.catalog)
-        for did in deltas:
-            shutil.rmtree(os.path.join(self.delta_root, f"delta-{did}"), ignore_errors=True)
+        After this, ``search()`` is rank-identical to the direct path.
+
+        Safe to call while a continuous (``drain=False``) query is
+        attached: the write lock serializes the whole fold against
+        :meth:`apply_batch`, so a concurrent micro-batch lands entirely
+        before the fold (and is compacted into the new base) or
+        entirely after it (and becomes the first delta on the new
+        base, numbered from the new high watermark)."""
+        with self._write_lock:
+            deltas = self.delta_ids()
+            if not deltas:
+                return
+            tmp_docs = self.docs_base + ".compact"
+            self.current_docs().write.mode("overwrite").parquet(tmp_docs)
+            # swap corpus, then rebuild + publish index from the new base
+            old = self.docs_base + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(self.docs_base, old)
+            os.replace(tmp_docs, self.docs_base)
+            shutil.rmtree(old, ignore_errors=True)
+            build_index(self.spark, self.spark.read.parquet(self.docs_base), self.catalog)
+            for did in deltas:
+                shutil.rmtree(
+                    os.path.join(self.delta_root, f"delta-{did}"), ignore_errors=True
+                )

@@ -360,13 +360,17 @@ def test_kafka_shaped_stream_end_to_end(spark, transcripts):
 
 
 def test_one_stream_per_index_contract(spark, transcripts):
-    """Attaching a second source type to an index that already ingested
-    from another must raise the contract error (not fail deep inside
-    Spark's checkpoint offset log, nor silently overwrite deltas)."""
+    """Attaching a second source *endpoint or type* to an index that
+    already ingested from another must raise the contract error (not
+    fail deep inside Spark's checkpoint offset log, nor silently
+    overwrite deltas) — while re-attaching the SAME endpoint, even via
+    a differently-constructed DataFrame, stays accepted."""
     root = "/tmp/seng_source_claim"
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "in")
+    other_dir = os.path.join(root, "in2")
     os.makedirs(src)
+    os.makedirs(other_dir)
     with open(os.path.join(src, "b0.json"), "w") as f:
         f.write(json.dumps(_msg(1, "claim", 0, "first source")) + "\n")
     s = StreamingIndex(spark, os.path.join(root, "store"))
@@ -375,9 +379,154 @@ def test_one_stream_per_index_contract(spark, transcripts):
         s.ingest_files(src)
         from searchengine_spark.streaming.ingest import message_schema
 
-        other = spark.readStream.schema(message_schema()).json(src)
-        with pytest.raises(ValueError, match="bound to source 'files'"):
-            s.ingest_stream(other)  # default tag 'stream' != 'files'
+        # same endpoint, raw reader: tag derives to files:<same dir> — OK
+        same = spark.readStream.schema(message_schema()).json(src)
+        s.ingest_stream(same)  # no-op drain, accepted
+        # different file endpoint → rejected
+        other = spark.readStream.schema(message_schema()).json(other_dir)
+        with pytest.raises(ValueError, match="bound to source 'files:"):
+            s.ingest_stream(other)
+        # different source TYPE (e.g. a kafka topic) → rejected
+        with pytest.raises(ValueError, match="bound to source 'files:"):
+            s.ingest_stream(same, source_tag="kafka:b-1/topic")
         s.ingest_files(src)  # same source stays fine (no-op drain)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_large_batch_ingest(spark, transcripts):
+    """A large CDC batch (100k+ messages in ONE micro-batch) must land
+    without any driver-side per-doc state: tombstones go to parquet
+    (meta.json carries counts only) and doc_int assignment uses the
+    two-phase committed-parquet scan — no single-partition window, no
+    ``isin`` literal trees, no collected doc_id lists."""
+    from searchengine_spark.streaming.ingest import LARGE_BATCH_DOCS
+
+    n_msgs = LARGE_BATCH_DOCS + 40000  # > threshold → two-phase path
+    root = "/tmp/seng_large_batch"
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    lines = []
+    for i in range(n_msgs):
+        lines.append(json.dumps(_msg(i, f"bulk{i % 50000:05d}", i // 50000,
+                                     f"bulk document body tok{i % 997} zebrabulk")))
+    # 10 deletes of docs upserted EARLIER in the same batch (LWW within batch)
+    for j in range(10):
+        lines.append(json.dumps(_msg(n_msgs + j, f"bulk{j:05d}", 0, "", delete=True)))
+    with open(os.path.join(src, "big.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    s = StreamingIndex(spark, os.path.join(root, "store"))
+    s.bootstrap(transcripts.limit(50))
+    try:
+        s.ingest_files(src)
+        deltas = s.delta_ids()
+        assert len(deltas) == 1
+        did = deltas[0]
+        ddir = os.path.join(s.delta_root, f"delta-{did}")
+        meta = s._delta_meta(did)
+        # counts only in meta — per-doc tombstones live in parquet
+        assert "tombstones" not in meta
+        n_unique = n_msgs  # one message per (conv_id, turn_idx) before deletes
+        assert meta["n_tombstones"] == n_unique  # every touched id (incl. re-deleted)
+        assert meta["n_docs"] == n_unique - 10
+        tomb = spark.read.parquet(os.path.join(ddir, "tombstones"))
+        assert tomb.count() == n_unique
+        # doc_int assignment: dense, unique, starting at the watermark
+        dm = spark.read.parquet(os.path.join(ddir, "docmap"))
+        row = dm.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_int").alias("nd"),
+            F.min("doc_int").alias("lo"),
+            F.max("doc_int").alias("hi"),
+        ).collect()[0]
+        assert row["n"] == row["nd"] == meta["n_docs"]
+        assert row["lo"] == meta["doc_int_start"]
+        assert row["hi"] == meta["doc_int_end"] - 1
+        # merge-on-read sees the batch: +n upserts −10 deletes
+        assert s.current_docs().count() == 50 + n_unique - 10
+        # live search reaches the new docs and excludes the deleted ones
+        ids = [r["doc_id"] for r in s.search(["zebrabulk"], k=20).collect()]
+        assert len(ids) == 20 and all(i.startswith("bulk") for i in ids)
+        dead = [r["doc_id"] for r in s.search(["zebrabulk"], k=200000).collect()
+                if r["doc_id"] in {f"bulk{j:05d}:0000" for j in range(10)}]
+        assert dead == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compact_during_live_socket_stream(spark, transcripts):
+    """Round-4 concurrency contract: ``compact()`` while a continuous
+    (``drain=False``) socket query is live must serialize against
+    ``apply_batch`` — every message ends up exactly once in the final
+    view, whether its micro-batch landed before the fold (compacted
+    into the base) or after it (first delta on the new base)."""
+    import socket
+    import threading
+    import time
+
+    from searchengine_spark.streaming.ingest import socket_source
+
+    root = "/tmp/seng_compact_race"
+    shutil.rmtree(root, ignore_errors=True)
+    s = StreamingIndex(spark, os.path.join(root, "store"))
+    s.bootstrap(transcripts.limit(50))
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+    sent = []
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            seq = 0
+            while not stop.is_set() and seq < 40:
+                m = _msg(seq, "race", seq, f"racing message zebrarace tok{seq}")
+                conn.sendall((json.dumps(m) + "\n").encode())
+                sent.append(m["doc_id"])
+                seq += 1
+                time.sleep(0.05)
+            stop.wait(timeout=60)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = s.ingest_stream(socket_source(spark, "127.0.0.1", port), drain=False)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not s.delta_ids():
+            time.sleep(0.3)
+        assert s.delta_ids(), "no delta landed before compaction"
+        # fold the base while batches keep arriving
+        s.compact()
+        n_base = s.catalog.current().stats["n_docs"]
+        assert n_base > 50  # compacted-in stream docs
+        # let the tail of the stream land, then stop
+        deadline = time.time() + 60
+        while time.time() < deadline and len(sent) < 40:
+            time.sleep(0.3)
+        # wait until every sent message has been published to the store
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = s.current_docs().where(F.col("conv_id") == "race").count()
+            if n >= len(sent):
+                break
+            time.sleep(1.0)
+    finally:
+        stop.set()
+        q.stop()
+        q.awaitTermination(30)
+        srv.close()
+    try:
+        # exactly-once across the fold: every sent doc present exactly once
+        cur = s.current_docs().where(F.col("conv_id") == "race")
+        got = sorted(f"{r['conv_id']}:{r['turn_idx']:04d}" for r in cur.collect())
+        assert got == sorted(set(sent))
+        ids = [r["doc_id"] for r in s.search(["zebrarace"], k=100).collect()]
+        assert set(ids) == set(sent)
     finally:
         shutil.rmtree(root, ignore_errors=True)
