@@ -54,6 +54,20 @@ TERM_CACHE_MAX = 1_000_000
 # same gate for the doc_int → doc_id table (~40 B/doc driver memory)
 DOC_NAME_CACHE_MAX = 5_000_000
 
+# serving fast path: when the query terms' TOTAL posting count (Σ df,
+# known driver-side from the term dictionary before any job runs) is
+# at most this, the matching segment blobs are collected and scored in
+# driver numpy — one JVM-only collect instead of a mapInPandas job
+# (no Python workers, no shuffle). This is the Lucene/Bleve serving
+# shape (one node scores a query); heavy queries above the cap keep
+# the distributed block-max path, so no unbounded driver transfer can
+# occur: Σ df bounds the decoded entries (~6 B/entry on the wire).
+import os as _os
+
+SERVING_DRIVER_MAX = int(_os.environ.get("SENG_SERVING_DRIVER_MAX", "2000000"))
+# cached filter sets pinned per snapshot (Lucene filter-cache analogue)
+_FILTER_CACHE_ENTRIES = 8
+
 
 @dataclass
 class IndexHandle:
@@ -101,6 +115,30 @@ class IndexHandle:
                 for r in self.docmap().select("doc_int", "doc_id").collect()
             }
         return self._doc_names
+
+    def filter_doc_ints(self, doc_predicate: Column) -> "object | None":
+        """Lucene-style cached filter set: the sorted doc_int array
+        satisfying ``doc_predicate``, evaluated against docmap ONCE per
+        (snapshot, predicate) and pinned driver-side — repeated
+        filtered queries then run with zero Spark jobs. None when the
+        corpus is too large to pin a filter set (callers fall back to
+        the distributed semi-join). Bounded: ≤ _FILTER_CACHE_ENTRIES
+        arrays of ≤ n_docs int64 each, evicted FIFO."""
+        if self.stats["n_docs"] > DOC_NAME_CACHE_MAX:
+            return None
+        import numpy as np
+
+        key = str(doc_predicate._jc)
+        cache: dict = getattr(self, "_filter_cache", None) or {}
+        arr = cache.get(key)
+        if arr is None:
+            pdf = self.docmap().where(doc_predicate).select("doc_int").toPandas()
+            arr = np.sort(pdf["doc_int"].to_numpy(dtype=np.int64))
+            while len(cache) >= _FILTER_CACHE_ENTRIES:
+                cache.pop(next(iter(cache)))
+            cache[key] = arr
+            self._filter_cache = cache
+        return arr
 
     def term_dict(self) -> dict[str, tuple[int, int | None]] | None:
         """Driver-cached term → (df, bucket), or None if the vocabulary
@@ -272,6 +310,54 @@ def _make_scorer(idfs: dict[str, float], avgdl: float, theta: float = 0.0):
     return score_batches
 
 
+def _result_df(spark: SparkSession, pairs: list[tuple[str, float]]) -> DataFrame:
+    """(doc_id, score) rows → result DataFrame via Arrow from pandas —
+    ~8× cheaper per query than the row-tuple createDataFrame path (the
+    serving result is rebuilt on every call, so this fixed cost is on
+    the latency floor)."""
+    if not pairs:
+        return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.array([p[0] for p in pairs], dtype=object),
+            "score": np.array([p[1] for p in pairs], dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(pdf, schema="doc_id STRING, score DOUBLE")
+
+
+def _score_rows_driver(
+    rows: list, idfs: dict[str, float], avgdl: float
+) -> tuple["object", "object", "object"]:
+    """Decode + score collected segment rows in driver numpy — the same
+    float64 expression shape as :func:`_make_scorer`, aggregated per
+    doc. Returns (doc_ints, scores, matched_term_counts) as arrays.
+    Caller guarantees the row set is Σ-df bounded (SERVING_DRIVER_MAX /
+    the pruned pick set)."""
+    import numpy as np
+
+    k1, b = S.K1, S.B
+    ds, cs = [], []
+    for r in rows:
+        idf = idfs[r["term"]]
+        docs, tfs, dls = decode_postings(bytes(r["postings"]))
+        tfd = tfs.astype(np.float64)
+        dld = dls.astype(np.float64)
+        tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+        ds.append(docs)
+        cs.append(idf * tfn)
+    if not ds:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0), np.zeros(0, dtype=np.int64)
+    docs = np.concatenate(ds)
+    contribs = np.concatenate(cs)
+    uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
+    sums = np.bincount(inv, weights=contribs, minlength=len(uniq))
+    return uniq, sums, counts
+
+
 def _buckets_of(ix: IndexHandle, terms: list[str]) -> list[int]:
     nb = ix.snapshot.manifest["n_buckets"]
     df = ix.spark.createDataFrame([(t,) for t in terms], "term STRING")
@@ -332,6 +418,15 @@ def search_index(
         .where(F.col("term").isin(terms))
     )
 
+    # serving fast path: Σ df (exact, from the term dictionary — zero
+    # jobs) bounds the decode work, so light queries collect their few
+    # segment blobs and score in driver numpy: one JVM-only collect,
+    # no Python workers, no shuffle. Heavy queries (Σ df above the
+    # cap) fall through to the distributed block-max plan — the
+    # driver transfer is provably bounded either way.
+    if sum(meta[t][0] for t in terms) <= SERVING_DRIVER_MAX:
+        return _search_driver(ix, segs, terms, idfs, k, mode, doc_predicate)
+
     # ONE allowed-docs frame serves both the θ-establishment inside
     # _prune_segments and the post-aggregation MUST semi-join below —
     # the pruning proof requires both sides to use the same predicate
@@ -388,11 +483,18 @@ def search_index(
         .limit(k)
         .collect()
     )
-    if not top_rows:
-        return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+    return _hydrate_pairs(ix, [(int(r["doc_int"]), float(r["score_raw"])) for r in top_rows])
+
+
+def _hydrate_pairs(ix: IndexHandle, sel: list[tuple[int, float]]) -> DataFrame:
+    """≤k (doc_int, raw score) → ordered (doc_id, score) result frame.
+    doc_id comes from the pinned doc-name cache when available, else
+    one docmap point-read over the ≤k ids (isin pushdown)."""
+    if not sel:
+        return ix.spark.createDataFrame([], "doc_id STRING, score DOUBLE")
     id2name = ix.doc_names()
     if id2name is None:  # corpus too large to pin: docmap point-read
-        ids = [int(r["doc_int"]) for r in top_rows]
+        ids = [d for d, _ in sel]
         id2name = {
             int(r["doc_int"]): r["doc_id"]
             for r in ix.docmap()
@@ -400,13 +502,82 @@ def search_index(
             .select("doc_int", "doc_id")
             .collect()
         }
-    out = sorted(
-        ((id2name[int(r["doc_int"])], float(r["score_raw"])) for r in top_rows),
-        key=lambda x: (-x[1], x[0]),
-    )
-    return spark.createDataFrame(
-        [(d, round(s, S.SCORE_DECIMALS)) for d, s in out], "doc_id STRING, score DOUBLE"
-    )
+    out = sorted(((id2name[d], s) for d, s in sel), key=lambda x: (-x[1], x[0]))
+    return _result_df(ix.spark, [(d, round(s, S.SCORE_DECIMALS)) for d, s in out])
+
+
+def _search_driver(
+    ix: IndexHandle,
+    segs: DataFrame,
+    terms: list[str],
+    idfs: dict[str, float],
+    k: int,
+    mode: str,
+    doc_predicate: Column | None,
+) -> DataFrame:
+    """Driver-resident scoring for Σ-df-bounded queries (the serving
+    fast path of :func:`search_index` — see SERVING_DRIVER_MAX).
+
+    A doc's postings for EVERY query term live in its one doc-aligned
+    segment (``seg = doc_int >> 16``), so the collected rows carry
+    complete per-doc scores: aggregation here is exact, and mode="and"
+    reduces to counting matched terms per doc. A MUST predicate still
+    evaluates distributed (docmap semi-join over the candidate frame —
+    the predicate may touch any metadata column at corpus scale)."""
+    spark = ix.spark
+    import numpy as np
+
+    rows = segs.select("term", "postings").collect()  # JVM-only, Σ-df bounded
+    uniq, sums, counts = _score_rows_driver(rows, idfs, ix.stats["avgdl"])
+    if mode == "and" and len(terms) > 1:
+        m = counts == len(terms)
+        uniq, sums = uniq[m], sums[m]
+    if len(uniq) == 0:
+        return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+    if doc_predicate is not None:
+        allowed = ix.filter_doc_ints(doc_predicate)
+        if allowed is not None:
+            # cached filter set (first use pays one docmap job; repeats
+            # are zero-job): membership via sorted searchsorted
+            idx = np.searchsorted(allowed, uniq)
+            idx[idx >= len(allowed)] = max(len(allowed) - 1, 0)
+            m = len(allowed) > 0
+            m = (allowed[idx] == uniq) if m else np.zeros(len(uniq), dtype=bool)
+            uniq, sums = uniq[m], sums[m]
+            if len(uniq) == 0:
+                return spark.createDataFrame([], "doc_id STRING, score DOUBLE")
+        else:
+            # corpus too large for a pinned filter set: probe candidates
+            # in rank order against docmap — the first k that satisfy
+            # the MUST predicate ARE the global top-k (everything
+            # unprobed ranks below everything probed); escalate
+            # geometrically on the rare under-selective predicate.
+            order = np.lexsort((uniq, -sums))
+            probe = min(len(order), max(50 * k, 500))
+            while True:
+                sub = order[:probe]
+                cand = spark.createDataFrame(
+                    pd.DataFrame({"doc_int": uniq[sub], "score_raw": sums[sub]}),
+                    schema="doc_int LONG, score_raw DOUBLE",
+                )
+                top_rows = (
+                    cand.join(
+                        ix.docmap().where(doc_predicate).select("doc_int"),
+                        "doc_int",
+                        "left_semi",
+                    )
+                    .orderBy(F.desc("score_raw"), F.asc("doc_int"))
+                    .limit(k)
+                    .collect()
+                )
+                if len(top_rows) >= k or probe >= len(order):
+                    break
+                probe = min(len(order), probe * 8)
+            return _hydrate_pairs(
+                ix, [(int(r["doc_int"]), float(r["score_raw"])) for r in top_rows]
+            )
+    order = np.lexsort((uniq, -sums))[:k]  # exact final rank order
+    return _hydrate_pairs(ix, [(int(uniq[i]), float(sums[i])) for i in order])
 
 
 @timed("search_many")
@@ -495,22 +666,22 @@ def _prune_segments(
 
     1. aggregate per-segment ``ub = Σ_t idf_t · seg_max_tfnorm`` and doc
        count from the metadata columns only (postings bytes never read);
-    2. greedy prefix DISTRIBUTIVELY: a running-count window over
-       ``ub desc`` picks the richest segments until ≥ overfetch·k docs —
-       only those ≤ overfetch·k segment ids reach the driver (the old
-       formulation collected every matching (term, seg) row: O(segments)
-       driver memory, ~1.5 M rows per heavy term at 10^11 docs);
-    3. θ = k-th exact score inside the picked segments — among
-       ``allowed`` docs only when a MUST filter is in force (the bound
-       side needs no filtering: ub ≥ any doc's score regardless);
+    2. greedy prefix via TakeOrderedAndProject: every segment holds ≥ 1
+       doc, so the richest ``overfetch·k`` segments are always enough
+       to cover ≥ overfetch·k docs — ``orderBy(ub desc).limit(O·k)``
+       is a distributed top-M (per-partition heaps, no global sort, no
+       single-partition window), and the driver runs the greedy prefix
+       over those ≤ O·k metadata rows only;
+    3. θ = k-th exact score inside the picked segments. Unfiltered, the
+       picked blobs (Σ n bounded by ~O·k + one segment span per term)
+       are collected and scored in driver numpy — the θ-establishment
+       job folds into a cheap JVM collect. With a MUST filter the
+       candidate job stays distributed (θ must be established among
+       ``allowed`` docs; the predicate evaluates against docmap). The
+       bound side needs no filtering either way: ub ≥ any doc's score;
     4. survivors (``ub ≥ θ`` ∪ picked) stay a DataFrame, applied via a
        broadcast semi-join — the driver never materializes the survivor
-       list either.
-
-    The single-partition window in step 2 sorts segment METADATA (~16 B
-    per segment), not postings — cheap at any corpus size."""
-    from pyspark.sql import Window
-
+       list either."""
     idf_map = F.create_map(*[F.lit(v) for t, f in idfs.items() for v in (t, float(f))])
     seg_meta = (
         segs.select(
@@ -519,32 +690,38 @@ def _prune_segments(
         .groupBy("seg")
         .agg(F.sum("part").alias("ub"), F.sum("n").alias("cnt"))
     )
-    w = (
-        Window.orderBy(F.desc("ub"), F.asc("seg"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    top_meta = (
+        seg_meta.orderBy(F.desc("ub"), F.asc("seg")).limit(overfetch * k).collect()
     )
-    picked = [
-        int(r["seg"])
-        for r in seg_meta.withColumn("prior", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
-        .where(F.col("prior") < overfetch * k)
-        .select("seg")
-        .collect()
-    ]
+    picked, acc = [], 0
+    for r in top_meta:  # greedy prefix over ≤ O·k rows, driver-side
+        if acc >= overfetch * k:
+            break
+        picked.append(int(r["seg"]))
+        acc += int(r["cnt"])
     if not picked:
         return segs, 0.0
     head = segs.where(F.col("seg").isin(picked))
-    cand = (
-        head.select("term", "postings", "block_max_tfnorm")
-        .mapInPandas(_make_scorer(idfs, ix.stats["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
-        .groupBy("doc_int")
-        .agg(F.sum("contrib").alias("sc"))
-    )
-    if allowed is not None:
+    if allowed is None:
+        rows = head.select("term", "postings").collect()  # Σ-n bounded pick set
+        uniq, sums, _cnt = _score_rows_driver(rows, idfs, ix.stats["avgdl"])
+        if len(uniq) < k:
+            return segs, 0.0  # not enough candidates to establish a safe θ
+        import numpy as np
+
+        theta = float(np.sort(sums)[-k])
+    else:
+        cand = (
+            head.select("term", "postings", "block_max_tfnorm")
+            .mapInPandas(_make_scorer(idfs, ix.stats["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
+            .groupBy("doc_int")
+            .agg(F.sum("contrib").alias("sc"))
+        )
         cand = cand.join(allowed, "doc_int", "left_semi")
-    exact = cand.orderBy(F.desc("sc")).limit(k).collect()
-    if len(exact) < k:
-        return segs, 0.0  # not enough candidates to establish a safe θ
-    theta = float(exact[-1]["sc"])
+        exact = cand.orderBy(F.desc("sc")).limit(k).collect()
+        if len(exact) < k:
+            return segs, 0.0  # not enough candidates to establish a safe θ
+        theta = float(exact[-1]["sc"])
     # keep ties: a pruned doc scoring exactly θ could win the doc_id tie-break.
     # Inner join (same broadcast the old semi-join used) so every surviving
     # row carries its segment's ub — the scorer derives the cross-term

@@ -56,6 +56,30 @@ def test_pruned_equals_unpruned(ix):
     )
 
 
+def test_driver_path_equals_distributed(ix, transcripts, monkeypatch):
+    """The Σ-df-gated serving fast path (driver numpy scoring) must be
+    rank- and score-identical to the distributed plan for every mode:
+    or / and / MUST-filtered / pagination-k. Forcing the cap to 0
+    re-runs each query through the distributed path for comparison."""
+    import searchengine_spark.index.engine as E
+
+    pred = (F.col("role") == "assistant") & (F.col("tool") == "search")
+    cases = [
+        (["spark"], {}),
+        (["query", "plan", "shuffle"], {}),
+        (["data", "model", "run"], {"k": 25}),
+        (["data", "model"], {"mode": "and"}),
+        (["spark", "query"], {"doc_predicate": pred}),
+        (["кепка", "шапка", "бейсболка", "панама"], {}),
+    ]
+    results_fast = [_pairs(search_index(ix, t, **kw)) for t, kw in cases]
+    assert E.SERVING_DRIVER_MAX > 0  # fast path actually ran above
+    monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)
+    results_dist = [_pairs(search_index(ix, t, **kw)) for t, kw in cases]
+    assert results_fast == results_dist
+    assert any(results_fast)  # non-vacuous: at least one non-empty result
+
+
 def test_rank_identical_to_oracle(ix, oracle_index):
     got = _pairs(search_index(ix, ["spark", "query", "plan"]))
     want = oracle_index.search("spark query plan")
@@ -279,6 +303,7 @@ def test_block_max_pruning_engages_and_is_exact(spark, transcripts, tmp_path_fac
     assert n_segs > 4
 
     monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+    monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)  # keep the distributed path under test
     for terms in (["spark"], ["query", "plan", "shuffle"], ["data", "model", "run"]):
         pruned = _pairs(search_index(ixp, terms, prune=True))
         unpruned = _pairs(search_index(ixp, terms, prune=False))
@@ -411,6 +436,7 @@ def test_wand_parity_fuzz(spark, tmp_path_factory, monkeypatch):
 
     monkeypatch.setattr(B, "SEG_SPAN", 32)
     monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+    monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)  # keep the distributed path under test
     vocab = [f"w{i}" for i in range(12)]  # tiny vocab → heavy collisions
     for seed in (7, 23):
         rng = random.Random(seed)
