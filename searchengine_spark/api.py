@@ -96,23 +96,49 @@ def advanced_search(
         return _hydrate(ix, hits, docs) if docs is not None else hits
 
     # explicit sort overrides ranking entirely (R4, rank.go:100-110):
-    # candidates = any-term matches ∧ filters, ordered by the field
-    meta = ix.term_dict() or {}
-    live = [t for t in terms if not meta or t in meta]
-    cand = (
-        ix.postings()
-        .where(F.col("term").isin(live))
-        .select("term", "postings", "block_max_tfnorm")
+    # candidates = any-term matches ∧ filters, ordered by the field.
+    # The match set is built with bucket + term parquet pushdown, and —
+    # like the scoring path — collects/decodes driver-side when Σ df
+    # is bounded (one JVM job: docmap semi-join → TakeOrdered on the
+    # sort key); heavy terms keep the distributed decode.
+    from .index.engine import (
+        SERVING_DRIVER_MAX,
+        _idf,
+        _make_scorer,
+        _score_rows_driver,
+        term_meta,
     )
-    from .index.engine import _idf, _make_scorer
 
     st = ix.stats
-    idfs = {t: _idf(st["n_docs"], meta[t][0]) if meta else 1.0 for t in live}
-    matched = (
-        cand.mapInPandas(_make_scorer(idfs, st["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
-        .select("doc_int")
-        .distinct()
-    )
+    tmeta = term_meta(ix, terms)
+    live = [t for t in terms if t in tmeta]
+    cand = ix.postings().where(F.col("term").isin(live))
+    if live and all(tmeta[t][1] is not None for t in live):
+        cand = cand.where(
+            F.col("bucket").isin(sorted({tmeta[t][1] for t in live}))
+        )
+    if not live:
+        matched = ix.spark.createDataFrame([], "doc_int LONG")
+    elif sum(tmeta[t][0] for t in live) <= SERVING_DRIVER_MAX:
+        import pandas as pd
+
+        rows = cand.select("term", "postings").collect()  # Σ-df bounded
+        uniq, _s, _c = _score_rows_driver(
+            rows, {t: 1.0 for t in live}, st["avgdl"]
+        )
+        matched = ix.spark.createDataFrame(
+            pd.DataFrame({"doc_int": uniq}), schema="doc_int LONG"
+        )
+    else:
+        idfs = {t: _idf(st["n_docs"], tmeta[t][0]) for t in live}
+        matched = (
+            cand.select("term", "postings", "block_max_tfnorm")
+            .mapInPandas(
+                _make_scorer(idfs, st["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE"
+            )
+            .select("doc_int")
+            .distinct()
+        )
     dm = ix.docmap()
     if pred is not None:
         dm = dm.where(pred)

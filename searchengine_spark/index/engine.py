@@ -50,9 +50,35 @@ from .build import bucket_col
 # hold the term dictionary driver-side below this vocabulary size — the
 # analogue of Bleve keeping its FST term dictionary in memory. Above it
 # (web-scale vocabularies) term lookups stay distributed point-reads.
+# Budgeted honestly for CPython dict overhead (~150-250 B/entry
+# measured, tests/test_index_engine.py::test_driver_cache_budgets):
+# 1 M entries ≈ 150-250 MB driver heap.
 TERM_CACHE_MAX = 1_000_000
-# same gate for the doc_int → doc_id table (~40 B/doc driver memory)
+# gate for the doc_int → doc_id table. The pinned form is ONE Arrow
+# string column indexed by the dense doc_int (no per-entry CPython
+# objects): ~(avg doc_id bytes + 8) per entry ≈ 25-30 B → 5 M entries
+# ≈ 150 MB driver heap (budget-tested alongside the term cache).
 DOC_NAME_CACHE_MAX = 5_000_000
+
+
+class _DocNames:
+    """Dense doc_int → doc_id lookup over one Arrow string column —
+    doc_int is the array index (dense 0..N-1 numbering from the
+    build). No per-entry CPython objects are held; ``nbytes`` is the
+    real pinned footprint."""
+
+    def __init__(self, arr):
+        self._arr = arr  # pyarrow (Chunked)Array of doc_id, doc_int order
+
+    def __getitem__(self, doc_int: int) -> str:
+        return self._arr[doc_int].as_py()
+
+    def __len__(self) -> int:
+        return len(self._arr)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self._arr.nbytes)
 
 # serving fast path: when the query terms' TOTAL posting count (Σ df,
 # known driver-side from the term dictionary before any job runs) is
@@ -99,21 +125,28 @@ class IndexHandle:
     def docmap(self) -> DataFrame:
         return self._artifact("docmap", self.snapshot.docmap_dir)
 
-    def doc_names(self) -> dict[int, str] | None:
-        """Driver-cached doc_int → doc_id, or None when the corpus is
-        too large to pin (callers fall back to a docmap point-read).
-        The serving analogue of keeping the docID lookup table hot —
-        saves the hydration job (one of the two per-query jobs)."""
+    def doc_names(self) -> "_DocNames | None":
+        """Driver-cached doc_int → doc_id (indexable by doc_int), or
+        None when the corpus is too large to pin (callers fall back to
+        a docmap point-read). The serving analogue of keeping the docID
+        lookup table hot — saves the hydration job. Pinned as a single
+        Arrow string column (doc_int = array index; the numbering is
+        dense by construction), so the footprint is the string bytes +
+        offsets, not CPython dict entries; the transfer itself is
+        Arrow-native (``toArrow``), never row objects."""
         cached = getattr(self, "_doc_names", False)
         if cached is not False:
             return cached
         if self.stats["n_docs"] > DOC_NAME_CACHE_MAX:
             self._doc_names = None
         else:
-            self._doc_names = {
-                int(r["doc_int"]): r["doc_id"]
-                for r in self.docmap().select("doc_int", "doc_id").collect()
-            }
+            tbl = (
+                self.docmap()
+                .select("doc_int", "doc_id")
+                .toArrow()
+                .sort_by("doc_int")
+            )
+            self._doc_names = _DocNames(tbl.column("doc_id").combine_chunks())
         return self._doc_names
 
     def filter_doc_ints(self, doc_predicate: Column) -> "object | None":
@@ -582,7 +615,12 @@ def _search_driver(
 
 @timed("search_many")
 def search_many(
-    ix: IndexHandle, queries: dict[str, list[str]], *, k: int = S.TOP_K
+    ix: IndexHandle,
+    queries: dict[str, list[str]],
+    *,
+    k: int = S.TOP_K,
+    prune: bool = True,
+    overfetch: int = 4,
 ) -> DataFrame:
     """Batched top-k for MANY queries in ONE distributed pass →
     (qid, doc_id, score), ordered (qid, score desc, doc_id).
@@ -591,7 +629,16 @@ def search_many(
     all query terms, segments decoded once and fanned out to every
     query containing the term, per-query top-k via a window — per-job
     scheduling cost amortizes over the whole batch (serving N queries
-    one-by-one pays it N times)."""
+    one-by-one pays it N times).
+
+    On large corpora (PRUNE_MIN_DOCS) the scan is segment-pruned per
+    query before any postings byte is decoded: a metadata pass
+    establishes a per-qid θ (k-th exact candidate score inside each
+    query's richest segments), and a ``(term, seg)`` row is decoded
+    only if SOME query containing the term has ``ub(qid, seg) ≥ θ_qid``
+    — dropping a row is exact because every doc it covers scores below
+    θ for every query that could reach it (doc-aligned segments carry
+    a doc's complete per-query score). See :func:`_prune_segments_many`."""
     from pyspark.sql import Window
 
     spark = ix.spark
@@ -611,13 +658,34 @@ def search_many(
         buckets = sorted({meta[t][1] for t in term_q})
     else:
         buckets = _buckets_of(ix, list(term_q))
-    segs = (
+    full = (
         ix.postings()
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(list(term_q)))
-        .select("term", "postings")
     )
-    k1, b, avgdl = S.K1, S.B, st["avgdl"]
+    if prune and st["n_docs"] >= PRUNE_MIN_DOCS:
+        segs = _prune_segments_many(ix, full, term_q, k, overfetch)
+    else:
+        segs = full.select("term", "postings")
+    scored = segs.select("term", "postings").mapInPandas(
+        _make_batch_scorer(term_q, st["avgdl"]), "qid STRING, doc_int LONG, contrib DOUBLE"
+    )
+    agg = scored.groupBy("qid", "doc_int").agg(F.sum("contrib").alias("score_raw"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_raw"), F.asc("doc_int"))
+    top = agg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return (
+        top.join(ix.docmap().select("doc_int", "doc_id"), "doc_int")
+        .select("qid", "doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"), "score_raw")
+        .orderBy("qid", F.desc("score_raw"), F.asc("doc_id"))
+        .drop("score_raw")
+    )
+
+
+def _make_batch_scorer(term_q: dict[str, list[tuple[str, float]]], avgdl: float):
+    """mapInPandas stage for the batch path: decode each (term, seg)
+    row ONCE and fan its contributions out to every query containing
+    the term — (qid, doc_int, contrib) rows."""
+    k1, b = S.K1, S.B
 
     def score_batches(batches):
         import numpy as np
@@ -642,16 +710,113 @@ def search_many(
                     }
                 )
 
-    scored = segs.mapInPandas(score_batches, "qid STRING, doc_int LONG, contrib DOUBLE")
-    agg = scored.groupBy("qid", "doc_int").agg(F.sum("contrib").alias("score_raw"))
-    w = Window.partitionBy("qid").orderBy(F.desc("score_raw"), F.asc("doc_int"))
-    top = agg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    return (
-        top.join(ix.docmap().select("doc_int", "doc_id"), "doc_int")
-        .select("qid", "doc_id", F.round("score_raw", S.SCORE_DECIMALS).alias("score"), "score_raw")
-        .orderBy("qid", F.desc("score_raw"), F.asc("doc_id"))
-        .drop("score_raw")
+    return score_batches
+
+
+def _prune_segments_many(
+    ix: IndexHandle,
+    full: DataFrame,
+    term_q: dict[str, list[tuple[str, float]]],
+    k: int,
+    overfetch: int,
+) -> DataFrame:
+    """Per-query segment pruning for the batch path (:func:`search_many`).
+
+    All metadata-only until the candidate pass; exactness argument:
+
+    1. ``ub(qid, seg) = Σ_{t ∈ qid ∩ seg} idf_t · seg_max_tfnorm``
+       upper-bounds every doc's FULL score for ``qid`` inside ``seg``
+       (doc-aligned segments: a doc's postings for all of a query's
+       terms live in its one segment);
+    2. θ_qid = k-th best exact candidate score inside the query's
+       greedily-picked richest segments (per-qid window over ≤
+       overfetch·k metadata rows; candidates carry complete scores, and
+       contributions from OTHER queries' picked segments only tighten
+       θ — so the candidate job needs no per-qid fan-out control);
+    3. a ``(term, seg)`` row is decoded in the main pass iff SOME qid
+       containing ``term`` has ``ub(qid, seg) ≥ θ_qid`` (ties kept).
+       A dropped row covers only docs provably below θ for every query
+       that could reach them through it — exact.
+
+    The per-qid metadata window is ``partitionBy(qid)`` — parallel
+    across the batch; each task sorts one query's segment METADATA
+    (~24 B/row), never postings."""
+    from pyspark.sql import Window
+
+    spark = ix.spark
+    qt_pairs = [(q, t) for t, lst in term_q.items() for q, _ in lst]
+    tq = spark.createDataFrame(
+        [(t, [(q, float(i)) for q, i in lst]) for t, lst in term_q.items()],
+        "term STRING, qs ARRAY<STRUCT<qid: STRING, idf: DOUBLE>>",
     )
+    meta_q = (
+        full.select("term", "seg", "n", "seg_max_tfnorm")
+        .join(F.broadcast(tq), "term")
+        .select("seg", "n", "seg_max_tfnorm", F.explode("qs").alias("q"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "seg",
+            "n",
+            (F.col("q.idf") * F.col("seg_max_tfnorm")).alias("part"),
+        )
+        .groupBy("qid", "seg")
+        .agg(F.sum("part").alias("ub"), F.sum("n").alias("cnt"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("seg"))
+    top_meta = (
+        meta_q.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= overfetch * k)
+        .select("qid", "seg", "cnt")
+        .collect()  # ≤ #qids · overfetch·k metadata rows
+    )
+    by_qid: dict[str, list] = {}
+    for r in top_meta:
+        by_qid.setdefault(r["qid"], []).append(r)
+    picked_segs: set[int] = set()
+    for rows in by_qid.values():  # rows arrive in (ub desc, seg) order per qid
+        acc = 0
+        for r in rows:
+            if acc >= overfetch * k:
+                break
+            picked_segs.add(int(r["seg"]))
+            acc += int(r["cnt"])
+    if not picked_segs:
+        return full.select("term", "postings")
+
+    pick_df = spark.createDataFrame(
+        pd.DataFrame({"seg": sorted(picked_segs)}), schema="seg LONG"
+    )
+    cand = (
+        full.join(F.broadcast(pick_df), "seg", "left_semi")
+        .select("term", "postings")
+        .mapInPandas(
+            _make_batch_scorer(term_q, ix.stats["avgdl"]),
+            "qid STRING, doc_int LONG, contrib DOUBLE",
+        )
+        .groupBy("qid", "doc_int")
+        .agg(F.sum("contrib").alias("sc"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sc"))
+    kth = (
+        cand.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == k)
+        .select("qid", "sc")
+        .collect()  # ≤ #qids rows; a qid with < k candidates gets θ=0
+    )
+    thetas = {r["qid"]: float(r["sc"]) for r in kth}
+    if not thetas:
+        return full.select("term", "postings")
+    theta_map = F.create_map(
+        *[F.lit(v) for q, t in thetas.items() for v in (q, t - _THETA_EPS)]
+    )
+    survivors = meta_q.where(
+        F.col("ub") >= F.coalesce(theta_map[F.col("qid")], F.lit(0.0))
+    )
+    qt = spark.createDataFrame(qt_pairs, "qid STRING, term STRING")
+    surv_ts = (
+        survivors.join(F.broadcast(qt), "qid").select("term", "seg").distinct()
+    )
+    return full.join(surv_ts, ["term", "seg"], "left_semi").select("term", "postings")
 
 
 def _prune_segments(

@@ -175,6 +175,84 @@ def test_search_many_matches_singles(spark, ix):
         assert by_q.get(qid, []) == _pairs(search_index(ix, terms)), qid
 
 
+def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeypatch):
+    """Batch-path segment pruning (per-qid θ): forced multi-segment
+    layout + zero engagement gate — pruned results must equal unpruned
+    AND the pruned scan must decode strictly fewer (term, seg) rows."""
+    import searchengine_spark.index.engine as E
+    from searchengine_spark.index.engine import (
+        _idf,
+        _prune_segments_many,
+        open_index,
+        search_many,
+        term_meta,
+    )
+
+    monkeypatch.setattr(B, "SEG_SPAN", 64)
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("prune_many") / "t"))
+    build_index(spark, transcripts, cat, n_buckets=8)
+    ixp = open_index(spark, cat)
+    monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+
+    batch = {
+        "qa": ["spark"],
+        "qb": ["query", "plan", "shuffle"],
+        "qc": ["data", "model", "run"],
+        "qd": ["zzznotaterm"],
+        "qe": ["spark", "model"],
+    }
+    def rows(df):
+        return [(r["qid"], r["doc_id"], r["score"]) for r in df.collect()]
+
+    assert rows(search_many(ixp, batch, prune=True)) == rows(
+        search_many(ixp, batch, prune=False)
+    )
+
+    # the prune actually drops (term, seg) rows for this batch
+    meta = term_meta(ixp, sorted({t for ts in batch.values() for t in ts}))
+    st = ixp.stats
+    term_q = {}
+    for qid, ts in batch.items():
+        for t in ts:
+            if t in meta:
+                term_q.setdefault(t, []).append((qid, _idf(st["n_docs"], meta[t][0])))
+    full = ixp.postings().where(F.col("term").isin(list(term_q)))
+    pruned = _prune_segments_many(ixp, full, term_q, k=10, overfetch=1)
+    n_full, n_pruned = full.count(), pruned.count()
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+
+
+def test_driver_cache_budgets(ix):
+    """The pinned serving caches must hold their documented per-entry
+    budgets (VERDICT r3: the old '~40 B/doc' dict sizing ignored
+    CPython overhead). doc_names is now one Arrow string column —
+    measured bytes come from the buffers themselves; term_dict stays a
+    dict (hash lookups) with a tracemalloc-measured ceiling."""
+    import tracemalloc
+
+    names = ix.doc_names()
+    assert names is not None and len(names) == ix.stats["n_docs"]
+    per_entry = names.nbytes / len(names)
+    # doc_ids like 'conv0000abcd:0042' (~17 B) + 8 B offset/validity
+    assert per_entry <= 64, per_entry
+    # spot-check correctness of the dense indexing
+    row = ix.docmap().where(F.col("doc_int") == 7).select("doc_id").collect()[0]
+    assert names[7] == row["doc_id"]
+
+    from searchengine_spark.index.engine import IndexHandle
+
+    ix2 = IndexHandle(ix.spark, ix.snapshot)  # fresh handle, cold caches
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    td = ix2.term_dict()
+    now, _ = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert td is not None and len(td) > 100
+    measured = (now - base) / len(td)
+    # TERM_CACHE_MAX budgets ~150-250 B/entry for the dict + key + value
+    assert measured <= 300, measured
+
+
 def test_build_resumable_bucket_jobs(spark, transcripts, tmp_path, monkeypatch):
     """Crash between a postings group's write and its ledger commit,
     then resume: the re-run must overwrite (not duplicate) that group's
