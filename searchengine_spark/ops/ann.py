@@ -34,13 +34,36 @@ from pyspark.sql import functions as F
 
 from .. import semantics as S
 
-LSH_BITS = 6        # 64 buckets
-IVF_LISTS = 16      # inverted lists (centroids)
+LSH_BITS = 6        # pinned oracle-tier floor (64 buckets)
+IVF_LISTS = 16      # pinned oracle-tier floor (inverted lists)
 IVF_PROBES = 4      # lists probed per query
 IVF_SEED = 42
 IVF_SAMPLE = 4096   # training-sample bound (first N by vec_id)
 IVF_ITERS = 8       # k-means refinement passes
 NEARDUP_BLOCK = 4096  # tile rows for the blocked GEMM
+
+# store sizing: expected rows per LSH bucket / IVF list at build time
+ANN_TARGET_BUCKET_ROWS = 4096
+_MAX_LSH_BITS = 24     # ≤ 16 M partition dirs
+_MAX_IVF_LISTS = 4096  # keeps driver k-means (sample × lists) feasible
+
+
+def derive_ann_params(
+    n: int, *, target_rows: int = ANN_TARGET_BUCKET_ROWS
+) -> tuple[int, int]:
+    """Corpus-sized ANN store parameters: bits/lists chosen so the
+    EXPECTED rows per LSH bucket / IVF list ≈ ``target_rows`` (bounded
+    per-probe scan at any corpus size), floored at the pinned
+    oracle-tier constants — every corpus ≤ target·2^LSH_BITS rows
+    (incl. all driver-oracle scales) gets exactly the pinned layout,
+    so the cross-engine oracles stay bit-identical. Caps: 2^24 LSH
+    partition dirs; 4096 IVF lists (above that the sample k-means
+    would need sharded training — FAISS-style — not a driver loop)."""
+    bits = LSH_BITS
+    if n > (target_rows << LSH_BITS):
+        bits = min(_MAX_LSH_BITS, math.ceil(math.log2(n / target_rows)))
+    lists = max(IVF_LISTS, min(_MAX_IVF_LISTS, int(math.ceil(n / target_rows))))
+    return bits, lists
 
 
 def _as_double(col: str | Column) -> Column:
@@ -271,8 +294,9 @@ def ensure_ann_store(
     spark,
     sf_dir: str,
     *,
-    bits: int = LSH_BITS,
-    n_lists: int = IVF_LISTS,
+    bits: int | None = None,
+    n_lists: int | None = None,
+    target_rows: int = ANN_TARGET_BUCKET_ROWS,
     root: str | None = None,
 ) -> str:
     """Materialize the ANN index structures for ``sf_dir``'s embeddings
@@ -288,7 +312,10 @@ def ensure_ann_store(
     This is the 100 TB layout: per-query work becomes a point-read of
     the query vector plus a pruned scan of 1/2^bits (LSH) or
     n_probes/n_lists (IVF) of the data, with zero per-query index
-    recompute."""
+    recompute. ``bits``/``n_lists`` default to corpus-size-derived
+    values (:func:`derive_ann_params`: expected rows per bucket/list ≈
+    ``target_rows``), which coincide with the pinned oracle constants
+    at every oracle scale; pass them explicitly to pin a layout."""
     root = root or ann_store_root(sf_dir)
     if os.path.exists(os.path.join(root, "meta.json")):
         return root
@@ -296,20 +323,39 @@ def ensure_ann_store(
     tmp = root + ".tmp"
     import shutil
 
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(src).metadata.num_rows  # footer read, no job
+    d_bits, d_lists = derive_ann_params(n, target_rows=target_rows)
+    bits = d_bits if bits is None else bits
+    n_lists = d_lists if n_lists is None else n_lists
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     e = spark.read.parquet(src).select("vec_id", _as_double("embedding").alias("emb"))
     e.withColumn("bucket", lsh_bucket(F.col("emb"), bits)).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(tmp, "lsh"))
-    cents = train_ivf_centroids(_sample_matrix(e), n_lists)
+    # training-sample floor scales with the list count (FAISS-style
+    # ≥tens of points per centroid), bounded for the driver loop
+    sample_n = min(max(IVF_SAMPLE, 64 * n_lists), 1 << 18)
+    cents = train_ivf_centroids(_sample_matrix(e, sample_n), n_lists)
     _assign_lists(e, cents).write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(tmp, "ivf")
     )
     with open(os.path.join(tmp, "centroids.json"), "w") as f:
         json.dump([[float(x) for x in row] for row in cents], f)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump({"source": src, "bits": bits, "n_lists": n_lists}, f)
+        json.dump(
+            {
+                "source": src,
+                "bits": bits,
+                "n_lists": n_lists,
+                "n_vectors": int(n),
+                "target_rows": target_rows,
+                "derived": {"bits": d_bits, "n_lists": d_lists},
+            },
+            f,
+        )
     shutil.rmtree(root, ignore_errors=True)
     os.rename(tmp, root)
     return root

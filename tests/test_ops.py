@@ -228,6 +228,55 @@ def test_ann_store_matches_direct(spark, tmp_path):
     assert OA.ensure_ann_store(spark, sf_dir, root=root) == root
 
 
+def test_ann_store_param_derivation(spark, tmp_path):
+    """Store parameters scale with corpus size (expected rows per
+    bucket/list ≈ target_rows) instead of staying toy constants, while
+    the pinned oracle-tier floor keeps small corpora on the exact
+    pinned layout. meta.json records both chosen and derived params."""
+    import numpy as np
+    import pandas as pd
+
+    # derivation math: floors at the pinned constants, grows with n
+    assert OA.derive_ann_params(1000) == (OA.LSH_BITS, OA.IVF_LISTS)
+    b_big, l_big = OA.derive_ann_params(10**9)
+    assert (10**9) / (1 << b_big) <= OA.ANN_TARGET_BUCKET_ROWS
+    assert l_big == OA._MAX_IVF_LISTS  # capped (sharded training beyond)
+    b_mid, l_mid = OA.derive_ann_params(4096 * 512)
+    assert b_mid == 9 and l_mid == 512
+
+    # build the SAME corpus at two targets → two real layouts
+    n, dim = 3000, 12
+    rng = np.random.default_rng(3)
+    sf_like = tmp_path / "sfx"
+    sf_like.mkdir()
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [rng.standard_normal(dim).astype(np.float32).tolist() for _ in range(n)],
+        }
+    ).to_parquet(sf_like / "embeddings.parquet")
+
+    import json as _json
+
+    small = OA.ensure_ann_store(
+        spark, str(sf_like), target_rows=32, root=str(tmp_path / "ann_small")
+    )
+    meta_s = _json.load(open(f"{small}/meta.json"))
+    assert meta_s["n_vectors"] == n and meta_s["derived"]["bits"] == meta_s["bits"]
+    assert meta_s["bits"] > OA.LSH_BITS and meta_s["n_lists"] > OA.IVF_LISTS
+    # expected-rows bound holds by construction: n / 2^bits ≤ target
+    assert n / (1 << meta_s["bits"]) <= 32
+    assert n / meta_s["n_lists"] <= 32
+
+    dflt = OA.ensure_ann_store(spark, str(sf_like), root=str(tmp_path / "ann_dflt"))
+    meta_d = _json.load(open(f"{dflt}/meta.json"))
+    assert (meta_d["bits"], meta_d["n_lists"]) == (OA.LSH_BITS, OA.IVF_LISTS)
+
+    # both layouts serve queries (partition-pruned probe works)
+    assert OA.lsh_topk_store(spark, small, 0, k=3).count() <= 3
+    assert OA.ivf_topk_store(spark, small, 0, k=3).count() == 3
+
+
 def test_ivf_centroids_trained_and_deterministic():
     import numpy as np
 
