@@ -1,10 +1,17 @@
 """Query-path metrics registry — the Spark-side mirror of the
-reference's Prometheus surface (``internal/metrics/metrics.go:10-44``):
+reference's Prometheus surface (``internal/metrics/metrics.go:10-55``):
 
 - ``search_requests_total{handler, status}``   ≈ http_requests_total
 - ``search_errors_total{handler}``             ≈ http_errors_total
 - ``search_duration_seconds{handler}``         ≈ http_request_duration_seconds
   (histogram, the Prometheus default buckets)
+- resource gauges ≈ the reference's CPU/memory gauges
+  (``metrics.go:45-55``): process CPU seconds, RSS, plus any
+  explicitly ``set_gauge``-registered values. Collected lazily at
+  ``snapshot()`` time (a scrape), like a Prometheus GaugeFunc. In a
+  cluster deployment the executor-side equivalents come from Spark's
+  own metrics system; these gauges cover the serving driver — the
+  process shaped like the reference's Go binary.
 
 The registry is process-local (a serving driver is one process, like
 the reference's Go binary); a deployment would scrape ``snapshot()``
@@ -34,6 +41,38 @@ class MetricsRegistry:
         with getattr(self, "_lock", threading.Lock()):
             self._counters: dict[tuple[str, tuple], int] = defaultdict(int)
             self._hist: dict[tuple[str, tuple], dict] = {}
+            self._gauges: dict[tuple[str, tuple], float] = {}
+
+    def set_gauge(self, name: str, value: float, **labels) -> None:
+        """Explicit gauge (last-write-wins) — e.g. index size, live
+        delta count. Process CPU/memory gauges need no registration;
+        they are sampled at snapshot() time."""
+        with self._lock:
+            self._gauges[self._key(name, labels)] = float(value)
+
+    @staticmethod
+    def _process_gauges() -> dict[str, float]:
+        """Driver-process resource gauges, sampled at scrape time —
+        the reference exports the same pair from its Go runtime
+        (``internal/metrics/metrics.go:45-55``)."""
+        import os
+        import resource
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        out = {
+            "process_cpu_seconds_total": ru.ru_utime + ru.ru_stime,
+            # ru_maxrss is KiB on Linux
+            "process_max_resident_memory_bytes": float(ru.ru_maxrss) * 1024.0,
+        }
+        try:
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            out["process_resident_memory_bytes"] = float(
+                rss_pages * os.sysconf("SC_PAGE_SIZE")
+            )
+        except (OSError, IndexError, ValueError):
+            pass
+        return out
 
     @staticmethod
     def _key(name: str, labels: dict) -> tuple[str, tuple]:
@@ -60,9 +99,15 @@ class MetricsRegistry:
 
     def snapshot(self) -> dict:
         """Full state: counters + histograms (buckets cumulative like a
-        Prometheus exposition would render them)."""
+        Prometheus exposition would render them) + gauges (explicit
+        set_gauge values and the process resource gauges sampled at
+        this scrape)."""
         with self._lock:
-            out: dict = {"counters": {}, "histograms": {}}
+            out: dict = {"counters": {}, "histograms": {}, "gauges": {}}
+            for (name, labels), v in self._gauges.items():
+                out["gauges"][(name, labels)] = v
+            for name, v in self._process_gauges().items():
+                out["gauges"][(name, ())] = v
             for (name, labels), v in self._counters.items():
                 out["counters"][(name, labels)] = v
             for (name, labels), h in self._hist.items():

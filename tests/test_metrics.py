@@ -26,6 +26,32 @@ def test_registry_counters_and_histogram():
     ]
 
 
+def test_resource_and_explicit_gauges():
+    """Gauges mirror the reference's CPU/mem exports
+    (metrics.go:45-55): process gauges are sampled at scrape time;
+    set_gauge values are last-write-wins; count_rows (the
+    deterministic oracle surface) is unaffected by gauges."""
+    reg = MetricsRegistry()
+    reg.set_gauge("index_live_deltas", 3, index="main")
+    reg.set_gauge("index_live_deltas", 5, index="main")
+    snap = reg.snapshot()
+    g = snap["gauges"]
+    assert g[("index_live_deltas", (("index", "main"),))] == 5.0
+    assert g[("process_cpu_seconds_total", ())] > 0.0
+    assert g[("process_max_resident_memory_bytes", ())] > 1 << 20
+    rss = g.get(("process_resident_memory_bytes", ()))
+    assert rss is None or rss > 1 << 20
+    # scrape-time sampling: CPU advances between snapshots
+    acc = 0
+    for _ in range(200000):
+        acc += 1
+    assert (
+        reg.snapshot()["gauges"][("process_cpu_seconds_total", ())]
+        >= g[("process_cpu_seconds_total", ())]
+    )
+    assert reg.count_rows() == []  # gauges never leak into the oracle view
+
+
 def test_timed_decorator_ok_and_error_paths():
     reg_rows = {}
     from searchengine_spark import metrics as M
