@@ -79,8 +79,33 @@ def clear_direct_cache() -> None:
         except Exception:
             pass
     _SHINGLE_CACHE.clear()
-    _EMB_PAIR_CACHE.clear()  # localCheckpoint frames free with the session
-    _MINHASH_PAIR_CACHE.clear()
+    # localCheckpointed frames hold executor block storage until the
+    # session stops — release it eagerly so clearing caches mid-session
+    # (e.g. switching corpora) doesn't strand storage
+    for cache in (_EMB_PAIR_CACHE, _MINHASH_PAIR_CACHE):
+        for df in cache.values():
+            _unpersist_checkpointed(df)
+        cache.clear()
+
+
+def _unpersist_checkpointed(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpointed frame's blocks.
+    The persisted RDD is the LogicalRDD backing the checkpoint; when the
+    frame IS the checkpoint root the analyzed plan exposes it directly.
+    Otherwise (an operator sits on top) dropping the last reference lets
+    Spark's ContextCleaner reclaim the blocks on the next driver GC —
+    so every path here is safe to fail quietly."""
+    try:
+        # blocking: the clear path is rare and callers (corpus switch)
+        # want the executor storage actually back before rebuilding
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+        return
+    except Exception:
+        pass
+    try:
+        df.rdd.unpersist()
+    except Exception:
+        pass
 
 
 def _stop_sql() -> str:

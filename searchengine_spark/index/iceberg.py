@@ -181,10 +181,14 @@ class IcebergIndexCatalog:
         return path
 
     def _artifact_snapshot_id(self, artifact: str) -> int:
+        """Snapshot id the table's ``main`` branch points at RIGHT NOW
+        — read from the ``refs`` metadata table, not inferred from
+        ``ORDER BY committed_at`` (millisecond-granular; a rapid second
+        commit could win the tiebreak and pin the wrong version)."""
         row = (
             self.spark.sql(
-                f"SELECT snapshot_id FROM {self.ident(artifact)}.snapshots "
-                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+                f"SELECT snapshot_id FROM {self.ident(artifact)}.refs "
+                "WHERE name = 'main' AND type = 'BRANCH'"
             ).collect()
         )
         return int(row[0]["snapshot_id"])
@@ -234,10 +238,11 @@ class IcebergIndexCatalog:
         if not victims:
             return victims
         expirable = expirable_pins(rows, set(victims))
-        ids = ", ".join(str(v) for v in victims)
-        self.spark.sql(
-            f"DELETE FROM {self.ident('manifests')} WHERE snap_id IN ({ids})"
-        )
+        # reclaim table snapshots FIRST, drop manifest rows LAST: a
+        # crash in between leaves the victim rows in place, so a later
+        # expire() recomputes the same expirable set and retries —
+        # deleting rows first would orphan their pins forever (the
+        # recompute could no longer see what was left to reclaim)
         for a in ARTIFACTS:
             dead = expirable.get(a, [])
             if dead:
@@ -247,4 +252,8 @@ class IcebergIndexCatalog:
                     f"table => '{self.ns}.{self.index}_{a}', "
                     f"snapshot_ids => ARRAY({arr}))"
                 )
+        ids = ", ".join(str(v) for v in victims)
+        self.spark.sql(
+            f"DELETE FROM {self.ident('manifests')} WHERE snap_id IN ({ids})"
+        )
         return victims

@@ -78,3 +78,25 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "doc_id" in df.columns and "score" in df.columns
+
+
+def test_clear_direct_cache_releases_checkpoint_blocks(spark):
+    """clear_direct_cache must release localCheckpointed pair-graph
+    storage eagerly (not strand it until session stop)."""
+    from searchengine_spark import entry_queries as EQ
+
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    df = spark.range(1000).localCheckpoint(eager=True)
+    new_ids = stored_ids()
+    ckpt_id = df._jdf.queryExecution().analyzed().rdd().id()
+    assert ckpt_id in new_ids
+    EQ._EMB_PAIR_CACHE[("test", "test", 0.0)] = df
+    EQ.clear_direct_cache()
+    # the checkpoint's block is gone (unpersist is blocking); earlier
+    # tests' own cached frames may come and go, so assert on THIS id
+    assert ckpt_id not in stored_ids()
+    assert not EQ._EMB_PAIR_CACHE and not EQ._MINHASH_PAIR_CACHE
