@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from .. import semantics as S
 from .catalog import IndexCatalog, Snapshot
-from .codec import BLOCK, decode_postings
+from .codec import BLOCK, SEG_SPAN, decode_postings
 from .build import bucket_col
 
 
@@ -402,6 +402,17 @@ def _buckets_of(ix: IndexHandle, terms: list[str]) -> list[int]:
 # metadata pass to skip some; below this the extra driver round-trips
 # cost more than scanning every segment
 PRUNE_MIN_DOCS = 4 * (1 << 16)
+# batch-path pruning additionally requires a real decode volume: below
+# this Σ df (known driver-side from the term dictionary, no job) the
+# direct one-pass decode is cheaper than the θ-establishment round.
+# Measured on a 4 M-doc index: the prune pass costs ~2.5 s of fixed
+# metadata/θ jobs and skips ~10 % of a multi-term batch's decode
+# (≥50 % for single-term qids, where the WAND bound is tight) — at
+# ~1 M decoded postings/s/core that breaks even around 10⁷ postings
+PRUNE_MIN_POSTINGS = 4 * SERVING_DRIVER_MAX
+# per-seg (qid, ub) block-skip metadata is broadcast onto the scan only
+# below this (#qids × max-possible-segs) bound — ~32 B/entry → ≤128 MB
+_QUBS_BROADCAST_MAX = 4_000_000
 
 
 from ..metrics import timed
@@ -621,6 +632,7 @@ def search_many(
     k: int = S.TOP_K,
     prune: bool = True,
     overfetch: int = 4,
+    driver: bool | None = None,
 ) -> DataFrame:
     """Batched top-k for MANY queries in ONE distributed pass →
     (qid, doc_id, score), ordered (qid, score desc, doc_id).
@@ -631,14 +643,34 @@ def search_many(
     scheduling cost amortizes over the whole batch (serving N queries
     one-by-one pays it N times).
 
-    On large corpora (PRUNE_MIN_DOCS) the scan is segment-pruned per
-    query before any postings byte is decoded: a metadata pass
-    establishes a per-qid θ (k-th exact candidate score inside each
-    query's richest segments), and a ``(term, seg)`` row is decoded
-    only if SOME query containing the term has ``ub(qid, seg) ≥ θ_qid``
-    — dropping a row is exact because every doc it covers scores below
-    θ for every query that could reach it (doc-aligned segments carry
-    a doc's complete per-query score). See :func:`_prune_segments_many`."""
+    Like the serving path, a batch whose UNION posting volume (Σ df
+    over the distinct terms, known driver-side before any job) fits
+    SERVING_DRIVER_MAX collects the segment blobs in ONE JVM action
+    and scores every query in driver numpy — the whole batch costs one
+    bounded collect instead of a shuffle + window. ``driver=False``
+    forces the distributed plan (e.g. to keep a huge result set on the
+    cluster); ``driver=True`` forces the collect.
+
+    On large corpora (PRUNE_MIN_DOCS) with a real decode volume
+    (Σ df ≥ PRUNE_MIN_POSTINGS — both known driver-side from the term
+    dictionary, no job) the distributed scan is pruned per query
+    before any postings byte is decoded, at two granularities:
+
+    - SEGMENT level: a metadata pass establishes a per-qid θ (k-th
+      exact candidate score inside each query's richest segments —
+      computed in driver numpy when the pick set is Σ-n bounded), and
+      a ``(term, seg)`` row is decoded only if SOME query containing
+      the term has ``ub(qid, seg) ≥ θ_qid``;
+    - BLOCK level: inside the scorer, each 128-posting block is skipped
+      PER QID when ``idf_t·block_max + (ub(qid,seg) − idf_t·seg_max)``
+      falls below θ_qid — the same cross-term-complement WAND bound as
+      the serving scorer, exact for any term count because doc-aligned
+      segments carry a doc's complete per-query score. Measured on a
+      4 M-doc index: the segment bound is loose for common terms (seg
+      maxima ≈ the global max) but the block bound skips ~99 % of a
+      heavy term's blocks.
+
+    See :func:`_prune_segments_many`."""
     from pyspark.sql import Window
 
     spark = ix.spark
@@ -663,12 +695,23 @@ def search_many(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(list(term_q)))
     )
-    if prune and st["n_docs"] >= PRUNE_MIN_DOCS:
-        segs = _prune_segments_many(ix, full, term_q, k, overfetch)
+    total_df = sum(meta[t][0] for t in term_q)
+    if driver is None:
+        driver = total_df <= SERVING_DRIVER_MAX
+    if driver:
+        return _search_many_driver(ix, full, term_q, k)
+    thetas: dict[str, float] | None = None
+    if (
+        prune
+        and st["n_docs"] >= PRUNE_MIN_DOCS
+        and total_df >= PRUNE_MIN_POSTINGS
+    ):
+        segs, thetas = _prune_segments_many(ix, full, term_q, k, overfetch)
     else:
         segs = full.select("term", "postings")
-    scored = segs.select("term", "postings").mapInPandas(
-        _make_batch_scorer(term_q, st["avgdl"]), "qid STRING, doc_int LONG, contrib DOUBLE"
+    scored = segs.mapInPandas(
+        _make_batch_scorer(term_q, st["avgdl"], thetas),
+        "qid STRING, doc_int LONG, contrib DOUBLE",
     )
     agg = scored.groupBy("qid", "doc_int").agg(F.sum("contrib").alias("score_raw"))
     w = Window.partitionBy("qid").orderBy(F.desc("score_raw"), F.asc("doc_int"))
@@ -681,26 +724,75 @@ def search_many(
     )
 
 
-def _make_batch_scorer(term_q: dict[str, list[tuple[str, float]]], avgdl: float):
+def _make_batch_scorer(
+    term_q: dict[str, list[tuple[str, float]]],
+    avgdl: float,
+    thetas: dict[str, float] | None = None,
+):
     """mapInPandas stage for the batch path: decode each (term, seg)
     row ONCE and fan its contributions out to every query containing
-    the term — (qid, doc_int, contrib) rows."""
+    the term — (qid, doc_int, contrib) rows.
+
+    When the pruning pass supplied per-qid θ values AND the input rows
+    carry block metadata, each 128-posting block is skipped PER QID via
+    the same cross-term-complement WAND bound as the serving scorer
+    (:func:`_make_scorer`):
+
+        bound(qid, t, b) = idf_t·block_max(b) + (ub(qid,seg) − idf_t·seg_max(t,seg))
+
+    where ``ub(qid,seg)`` arrives as the row's ``qubs`` list (attached
+    by a broadcast join of per-seg metadata). For single-term qids the
+    complement is identically 0.0, so those skip even when ``qubs`` is
+    absent (the attach is size-gated). Dropping a block for a qid is
+    exact: every doc in it provably scores below θ_qid in TOTAL, so its
+    partial contribution can never reach that query's top-k boundary."""
     k1, b = S.K1, S.B
+    qid_nterms: dict[str, int] = {}
+    for lst in term_q.values():
+        for qid, _ in lst:
+            qid_nterms[qid] = qid_nterms.get(qid, 0) + 1
 
     def score_batches(batches):
         import numpy as np
 
         for pdf in batches:
             qids, dints, contribs = [], [], []
-            for term, blob in zip(pdf["term"], pdf["postings"]):
+            blocks_on = thetas is not None and "block_max_tfnorm" in pdf.columns
+            bm_col = pdf["block_max_tfnorm"] if blocks_on else pdf["term"]
+            sm_col = pdf["seg_max_tfnorm"] if blocks_on else pdf["term"]
+            qu_col = pdf["qubs"] if blocks_on and "qubs" in pdf.columns else pdf["term"]
+            for term, blob, bmax, seg_max, qubs in zip(
+                pdf["term"], pdf["postings"], bm_col, sm_col, qu_col
+            ):
                 docs, tfs, dls = decode_postings(bytes(blob))
                 tfd = tfs.astype(np.float64)
                 dld = dls.astype(np.float64)
                 tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+                if blocks_on:
+                    bm = np.asarray(bmax, dtype=np.float64)
+                    ubd = (
+                        {e["qid"]: float(e["ub"]) for e in qubs}
+                        if qubs is not None and not isinstance(qubs, str)
+                        else None
+                    )
                 for qid, idf in term_q[term]:
-                    qids.append(np.full(len(docs), qid, dtype=object))
-                    dints.append(docs)
-                    contribs.append(idf * tfn)
+                    d, c = docs, idf * tfn
+                    theta = thetas.get(qid, 0.0) if thetas else 0.0
+                    if blocks_on and theta > 0.0:
+                        if qid_nterms[qid] == 1:
+                            other = 0.0
+                        elif ubd is not None and qid in ubd:
+                            other = ubd[qid] - idf * float(seg_max)
+                        else:
+                            other = None  # complement unknown → no skip
+                        if other is not None:
+                            keep = bm * idf + other >= theta - _THETA_EPS
+                            if not keep.all():
+                                mask = np.repeat(keep, BLOCK)[: len(docs)]
+                                d, c = docs[mask], c[mask]
+                    qids.append(np.full(len(d), qid, dtype=object))
+                    dints.append(d)
+                    contribs.append(c)
             if dints:
                 yield pd.DataFrame(
                     {
@@ -719,24 +811,37 @@ def _prune_segments_many(
     term_q: dict[str, list[tuple[str, float]]],
     k: int,
     overfetch: int,
-) -> DataFrame:
-    """Per-query segment pruning for the batch path (:func:`search_many`).
+) -> tuple[DataFrame, dict[str, float]]:
+    """Per-query pruning for the batch path (:func:`search_many`).
+    Returns ``(scan, thetas)``: the (term, seg) rows to decode — with
+    block metadata attached so the scorer can skip per-qid — and the
+    per-qid θ values.
 
-    All metadata-only until the candidate pass; exactness argument:
+    All metadata-only until the θ pass; exactness argument:
 
     1. ``ub(qid, seg) = Σ_{t ∈ qid ∩ seg} idf_t · seg_max_tfnorm``
        upper-bounds every doc's FULL score for ``qid`` inside ``seg``
        (doc-aligned segments: a doc's postings for all of a query's
        terms live in its one segment);
     2. θ_qid = k-th best exact candidate score inside the query's
-       greedily-picked richest segments (per-qid window over ≤
-       overfetch·k metadata rows; candidates carry complete scores, and
-       contributions from OTHER queries' picked segments only tighten
-       θ — so the candidate job needs no per-qid fan-out control);
+       greedily-picked richest segments. The pick set's total posting
+       count is known from metadata BEFORE any decode, so when it fits
+       SERVING_DRIVER_MAX the θ pass is ONE bounded JVM collect scored
+       in driver numpy (the common case: ≤ overfetch·k docs of
+       coverage per qid); only an oversized pick set pays a
+       distributed candidate job. Contributions from OTHER queries'
+       picked segments only tighten θ;
     3. a ``(term, seg)`` row is decoded in the main pass iff SOME qid
        containing ``term`` has ``ub(qid, seg) ≥ θ_qid`` (ties kept).
        A dropped row covers only docs provably below θ for every query
-       that could reach them through it — exact.
+       that could reach them through it — exact. (Measured: this seg
+       bound is loose for common terms — the real skip happens at
+       block granularity inside the scorer, which is why ``scan``
+       carries ``block_max_tfnorm``/``seg_max_tfnorm``/``qubs``.);
+    4. ``qubs`` (per-seg list of (qid, ub)) rides a BROADCAST join onto
+       the scan — postings blobs never shuffle. The attach is gated by
+       a driver-computed size bound (#qids × max possible segs); when
+       skipped, single-term qids still block-skip (complement ≡ 0).
 
     The per-qid metadata window is ``partitionBy(qid)`` — parallel
     across the batch; each task sorts one query's segment METADATA
@@ -773,39 +878,47 @@ def _prune_segments_many(
     for r in top_meta:
         by_qid.setdefault(r["qid"], []).append(r)
     picked_segs: set[int] = set()
+    picked_n = 0
     for rows in by_qid.values():  # rows arrive in (ub desc, seg) order per qid
         acc = 0
         for r in rows:
             if acc >= overfetch * k:
                 break
-            picked_segs.add(int(r["seg"]))
+            if int(r["seg"]) not in picked_segs:
+                picked_segs.add(int(r["seg"]))
+                picked_n += int(r["cnt"])
             acc += int(r["cnt"])
+    scan_cols = ["term", "seg", "postings", "block_max_tfnorm", "seg_max_tfnorm"]
     if not picked_segs:
-        return full.select("term", "postings")
+        return full.select("term", "postings"), {}
 
     pick_df = spark.createDataFrame(
         pd.DataFrame({"seg": sorted(picked_segs)}), schema="seg LONG"
     )
-    cand = (
-        full.join(F.broadcast(pick_df), "seg", "left_semi")
-        .select("term", "postings")
-        .mapInPandas(
-            _make_batch_scorer(term_q, ix.stats["avgdl"]),
-            "qid STRING, doc_int LONG, contrib DOUBLE",
+    head = full.join(F.broadcast(pick_df), "seg", "left_semi")
+    if picked_n <= SERVING_DRIVER_MAX:
+        rows = head.select("term", "postings").collect()  # Σ-n bounded pick set
+        thetas = _batch_thetas_driver(rows, term_q, ix.stats["avgdl"], k)
+    else:
+        cand = (
+            head.select("term", "postings")
+            .mapInPandas(
+                _make_batch_scorer(term_q, ix.stats["avgdl"]),
+                "qid STRING, doc_int LONG, contrib DOUBLE",
+            )
+            .groupBy("qid", "doc_int")
+            .agg(F.sum("contrib").alias("sc"))
         )
-        .groupBy("qid", "doc_int")
-        .agg(F.sum("contrib").alias("sc"))
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("sc"))
-    kth = (
-        cand.withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") == k)
-        .select("qid", "sc")
-        .collect()  # ≤ #qids rows; a qid with < k candidates gets θ=0
-    )
-    thetas = {r["qid"]: float(r["sc"]) for r in kth}
+        wq = Window.partitionBy("qid").orderBy(F.desc("sc"))
+        kth = (
+            cand.withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") == k)
+            .select("qid", "sc")
+            .collect()  # ≤ #qids rows; a qid with < k candidates gets θ=0
+        )
+        thetas = {r["qid"]: float(r["sc"]) for r in kth}
     if not thetas:
-        return full.select("term", "postings")
+        return full.select("term", "postings"), {}
     theta_map = F.create_map(
         *[F.lit(v) for q, t in thetas.items() for v in (q, t - _THETA_EPS)]
     )
@@ -816,7 +929,142 @@ def _prune_segments_many(
     surv_ts = (
         survivors.join(F.broadcast(qt), "qid").select("term", "seg").distinct()
     )
-    return full.join(surv_ts, ["term", "seg"], "left_semi").select("term", "postings")
+    scan = full.join(surv_ts, ["term", "seg"], "left_semi")
+    # block-skip complement metadata: per-seg (qid, ub) list. Size bound
+    # is driver-computable with no job: every queried term spans at most
+    # ceil(n_docs/SEG_SPAN) segments.
+    max_segs = -(-ix.stats["n_docs"] // SEG_SPAN)
+    n_qids = len({q for lst in term_q.values() for q, _ in lst})
+    if n_qids * max_segs <= _QUBS_BROADCAST_MAX:
+        seg_ubs = meta_q.groupBy("seg").agg(
+            F.collect_list(F.struct("qid", "ub")).alias("qubs")
+        )
+        scan = scan.join(F.broadcast(seg_ubs), "seg", "left")
+        return scan.select(*scan_cols, "qubs"), thetas
+    return scan.select(*scan_cols), thetas
+
+
+def _decode_rows_per_term(rows: list, avgdl: float) -> dict[str, list]:
+    """Decode collected (term, postings) rows once into per-term
+    (docs, tfnorm) arrays — the same float64 expression shape as
+    :func:`_make_batch_scorer`."""
+    import numpy as np
+
+    k1, b = S.K1, S.B
+    per_term: dict[str, list] = {}
+    for r in rows:
+        docs, tfs, dls = decode_postings(bytes(r["postings"]))
+        tfd = tfs.astype(np.float64)
+        dld = dls.astype(np.float64)
+        tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+        per_term.setdefault(r["term"], []).append((docs, tfn))
+    return per_term
+
+
+def _qid_doc_scores(
+    per_term: dict[str, list], terms: list[tuple[float, str]]
+) -> tuple["object", "object"]:
+    """One query's exact per-doc scores over decoded arrays →
+    (doc_ints, scores), unordered."""
+    import numpy as np
+
+    ds, cs = [], []
+    for idf, t in terms:
+        for docs, tfn in per_term.get(t, []):
+            ds.append(docs)
+            cs.append(idf * tfn)
+    if not ds:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0)
+    docs = np.concatenate(ds)
+    contribs = np.concatenate(cs)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.bincount(inv, weights=contribs, minlength=len(uniq))
+    return uniq, sums
+
+
+def _by_qid(term_q: dict[str, list[tuple[str, float]]]) -> dict[str, list]:
+    out: dict[str, list[tuple[float, str]]] = {}
+    for t, lst in term_q.items():
+        for qid, idf in lst:
+            out.setdefault(qid, []).append((idf, t))
+    return out
+
+
+def _batch_thetas_driver(
+    rows: list, term_q: dict[str, list[tuple[str, float]]], avgdl: float, k: int
+) -> dict[str, float]:
+    """Per-qid k-th best exact score over collected pick-set rows, in
+    driver numpy — each row decoded once, contributions fanned out to
+    the queries containing its term (the driver twin of
+    :func:`_make_batch_scorer`)."""
+    import numpy as np
+
+    per_term = _decode_rows_per_term(rows, avgdl)
+    thetas: dict[str, float] = {}
+    for qid, terms in _by_qid(term_q).items():
+        uniq, sums = _qid_doc_scores(per_term, terms)
+        if len(uniq) >= k:
+            thetas[qid] = float(np.sort(sums)[-k])
+    return thetas
+
+
+def _search_many_driver(
+    ix: IndexHandle,
+    segs: DataFrame,
+    term_q: dict[str, list[tuple[str, float]]],
+    k: int,
+) -> DataFrame:
+    """Driver-resident batch scoring for Σ-df-bounded batches — the
+    :func:`search_many` twin of :func:`_search_driver`: ONE bounded JVM
+    collect of the union term blobs, each decoded once, every query
+    scored from the shared arrays. Rank semantics are identical to the
+    distributed plan: top-k cut by (score desc, doc_int asc), display
+    order (qid, score desc, doc_id asc)."""
+    import numpy as np
+
+    spark = ix.spark
+    rows = segs.select("term", "postings").collect()  # JVM-only, Σ-df bounded
+    per_term = _decode_rows_per_term(rows, ix.stats["avgdl"])
+    names = ix.doc_names()
+    sel: dict[str, list[tuple[int, float]]] = {}
+    need_ids: set[int] = set()
+    for qid, terms in _by_qid(term_q).items():
+        uniq, sums = _qid_doc_scores(per_term, terms)
+        if len(uniq) == 0:
+            continue
+        order = np.lexsort((uniq, -sums))[:k]  # exact final rank cut
+        pairs = [(int(uniq[i]), float(sums[i])) for i in order]
+        sel[qid] = pairs
+        if names is None:
+            need_ids.update(d for d, _ in pairs)
+    if not sel:
+        return spark.createDataFrame([], "qid STRING, doc_id STRING, score DOUBLE")
+    if names is None:  # corpus too large to pin: one ≤ #qids·k point-read
+        names = {
+            int(r["doc_int"]): r["doc_id"]
+            for r in ix.docmap()
+            .where(F.col("doc_int").isin(sorted(need_ids)))
+            .select("doc_int", "doc_id")
+            .collect()
+        }
+    out_q, out_d, out_s = [], [], []
+    for qid in sorted(sel):
+        hydrated = sorted(
+            ((names[d], s) for d, s in sel[qid]), key=lambda x: (-x[1], x[0])
+        )
+        for d, s in hydrated:
+            out_q.append(qid)
+            out_d.append(d)
+            out_s.append(round(s, S.SCORE_DECIMALS))
+    pdf = pd.DataFrame(
+        {
+            "qid": np.array(out_q, dtype=object),
+            "doc_id": np.array(out_d, dtype=object),
+            "score": np.array(out_s, dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(pdf, schema="qid STRING, doc_id STRING, score DOUBLE")
 
 
 def _prune_segments(

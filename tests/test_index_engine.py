@@ -176,9 +176,11 @@ def test_search_many_matches_singles(spark, ix):
 
 
 def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeypatch):
-    """Batch-path segment pruning (per-qid θ): forced multi-segment
-    layout + zero engagement gate — pruned results must equal unpruned
-    AND the pruned scan must decode strictly fewer (term, seg) rows."""
+    """Batch-path pruning (per-qid θ, seg survivors + per-qid block
+    skip): forced multi-segment layout + zero engagement gates —
+    pruned results must equal unpruned on BOTH θ paths (driver-numpy
+    and distributed candidate job), AND the pruned scan must decode
+    strictly fewer (term, seg) rows."""
     import searchengine_spark.index.engine as E
     from searchengine_spark.index.engine import (
         _idf,
@@ -193,6 +195,7 @@ def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeyp
     build_index(spark, transcripts, cat, n_buckets=8)
     ixp = open_index(spark, cat)
     monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+    monkeypatch.setattr(E, "PRUNE_MIN_POSTINGS", 0)
 
     batch = {
         "qa": ["spark"],
@@ -204,11 +207,14 @@ def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeyp
     def rows(df):
         return [(r["qid"], r["doc_id"], r["score"]) for r in df.collect()]
 
-    assert rows(search_many(ixp, batch, prune=True)) == rows(
-        search_many(ixp, batch, prune=False)
-    )
+    unpruned = rows(search_many(ixp, batch, prune=False, driver=False))
+    # driver fast path (Σ df fits the bound → auto-selected)
+    assert rows(search_many(ixp, batch)) == unpruned
+    # distributed plan, pruned, driver-numpy θ (pick set fits the bound)
+    assert rows(search_many(ixp, batch, prune=True, driver=False)) == unpruned
 
-    # the prune actually drops (term, seg) rows for this batch
+    # the prune actually drops (term, seg) rows for this batch, and the
+    # scan carries the block-skip metadata for the scorer
     meta = term_meta(ixp, sorted({t for ts in batch.values() for t in ts}))
     st = ixp.stats
     term_q = {}
@@ -217,9 +223,16 @@ def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeyp
             if t in meta:
                 term_q.setdefault(t, []).append((qid, _idf(st["n_docs"], meta[t][0])))
     full = ixp.postings().where(F.col("term").isin(list(term_q)))
-    pruned = _prune_segments_many(ixp, full, term_q, k=10, overfetch=1)
+    pruned, thetas = _prune_segments_many(ixp, full, term_q, k=10, overfetch=1)
     n_full, n_pruned = full.count(), pruned.count()
     assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    assert thetas and all(v > 0.0 for v in thetas.values())
+    for col in ("block_max_tfnorm", "seg_max_tfnorm", "qubs"):
+        assert col in pruned.columns, col
+
+    # distributed-θ fallback: force the pick set past the driver cap
+    monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)
+    assert rows(search_many(ixp, batch, prune=True, driver=False)) == unpruned
 
 
 def test_driver_cache_budgets(ix):
