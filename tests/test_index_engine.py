@@ -233,6 +233,13 @@ def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeyp
     # distributed-θ fallback: force the pick set past the driver cap
     monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)
     assert rows(search_many(ixp, batch, prune=True, driver=False)) == unpruned
+    monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 2_000_000)
+
+    # corpus "too large" to pin doc names → ≤ #qids·k point-read hydration
+    monkeypatch.setattr(E, "DOC_NAME_CACHE_MAX", 0)
+    ix_cold = open_index(spark, cat)
+    assert ix_cold.doc_names() is None
+    assert rows(search_many(ix_cold, batch)) == unpruned
 
 
 def test_driver_cache_budgets(ix):
