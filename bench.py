@@ -54,6 +54,7 @@ def _query_wallclock(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     EQ.ensure_syn_index(spark, sf_dir)
     ensure_ann_store(spark, sf_dir)
     stage_events_dir(sf_dir)
+    EQ.ensure_stream_demo(spark, sf_dir)  # bootstrap+ingest+compact = a build artifact
     EQ.direct_ctx(spark, sf_dir)  # direct-path tokenize cache (a serving artifact)
     # warm the JVM + parquet footer caches once with the cheapest query
     qs["scan_stable_order"](spark, sf_dir).collect()

@@ -769,6 +769,33 @@ def q_docs_pack_sequences(spark, sf_dir):
     return pack_sequences(_documents(spark, sf_dir))
 
 
+def q_docs_mix_sample(spark, sf_dir):
+    """Target-composition sampling: every source stratum downsampled to
+    the smallest source's size via integer-threshold md5 buckets —
+    deterministic curriculum mixing (equal target weights)."""
+    from .ops.sampling import mix_sample
+
+    return mix_sample(_documents(spark, sf_dir))
+
+
+def q_conv_turn_stats(spark, sf_dir):
+    """Per-conversation shape rollup over the transcripts input
+    (n_turns / roles / tool turns / tokens / first+last ts) — the
+    conversation-level statistics a transcript pipeline filters and
+    samples on."""
+    from .ops.transcripts import conv_stats
+
+    return conv_stats(load_transcripts(spark, sf_dir))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) over the events
+    table: one user_id-partitioned window chain → per-session rollup."""
+    from .ops.sessions import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_docs_simhash(spark, sf_dir):
     return OD.simhash_signatures(_documents(spark, sf_dir)).orderBy("doc_id")
 
@@ -1241,6 +1268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": q_bm25_page2,
         "stream_events_rollup": q_stream_events_rollup,
         "ops_metrics": q_ops_metrics,
+        "docs_mix_sample": q_docs_mix_sample,
+        "conv_turn_stats": q_conv_turn_stats,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -1544,5 +1574,58 @@ SELECT * FROM (VALUES
   ('search_duration_seconds_count', 'search_index', CAST(3 AS BIGINT)),
   ('search_requests_total', 'search_index', CAST(3 AS BIGINT))
 ) AS t(metric, handler, n) ORDER BY metric, handler
+""",
+        # per-source counts → integer keep thresholds (mod*min DIV cnt)
+        # → md5 bucket filter; pure integer math, same as the Spark op
+        "docs_mix_sample": """
+WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+r AS (SELECT source, (10000 * (SELECT MIN(cnt) FROM c)) // cnt AS thr FROM c),
+b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix42' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.source, b.bucket
+FROM b JOIN r USING (source) WHERE b.bucket < r.thr ORDER BY doc_id
+""",
+        "conv_turn_stats": f"""
+WITH t AS (
+  SELECT conv_id, role, tool,
+         len(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS n_toks,
+         epoch_us(ts) AS ts_us
+  FROM read_parquet('{path}')
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       COUNT(DISTINCT role) AS n_roles,
+       CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(ts_us) AS first_ts_us,
+       MAX(ts_us) AS last_ts_us
+FROM t GROUP BY conv_id ORDER BY conv_id
+""",
+        # 30-min-gap sessionization; integer micros + integer cents so
+        # the value hash is aggregation-order-proof
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+g AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              AS BIGINT) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
     }

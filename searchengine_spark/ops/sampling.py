@@ -63,6 +63,37 @@ def hash_sample(
     )
 
 
+def mix_sample(docs: DataFrame, *, mod: int = 10_000, seed: str = "mix42") -> DataFrame:
+    """Target-composition (mixture-balancing) sampling: downsample every
+    ``source`` stratum to the size of the SMALLEST source, so the kept
+    set has an (expected-)uniform source mix — the curriculum-mixing
+    step of a pretraining pipeline, here with equal target weights.
+
+    Decisions are deterministic and engine-portable: per-source keep
+    thresholds are pure INTEGER arithmetic (``mod * min_cnt DIV cnt`` —
+    no float rate that two engines could round differently), and the
+    per-doc bucket is the same md5 scheme as :func:`hash_sample`.
+    Adding a source or re-partitioning never flips a kept/dropped
+    decision for existing (source, doc_id) pairs.
+
+    Scale: one count-by-source aggregate (|sources| rows, map-side
+    combined), a broadcast join of the tiny threshold table, and a
+    scan-local filter — no shuffle of the documents themselves.
+    """
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("min_cnt"))
+    thresholds = counts.crossJoin(F.broadcast(mn)).select(
+        "source", F.expr(f"CAST({mod} * min_cnt AS BIGINT) DIV cnt").alias("thr")
+    )
+    return (
+        docs.withColumn("bucket", hash_bucket(F.col("doc_id"), seed, mod))
+        .join(F.broadcast(thresholds), "source")
+        .where(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def pack_sequences(
     docs: DataFrame, window: int = 512, *, n_partitions: int | None = None
 ) -> DataFrame:

@@ -455,3 +455,71 @@ def test_filtered_ann_restricts_to_class(spark):
     want = sorted(((v, s) for v, s in full.items() if v % 2 == 0),
                   key=lambda x: (-x[1], x[0]))[:5]
     assert got == want
+
+
+def test_sessionize_splits_on_gap(spark):
+    """30-min gap rule: contiguous events share a session; a gap starts
+    a new one; sums are integer cents."""
+    from datetime import datetime
+
+    from searchengine_spark.ops.sessions import sessionize
+
+    def ts(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    rows = [
+        (0, ts(0), 7, "view", 1.25),
+        (1, ts(10), 7, "view", 2.50),     # 10 min gap → same session
+        (2, ts(45), 7, "buy", 10.01),     # 35 min gap → new session
+        (3, ts(46), 7, "view", 0.99),
+        (4, ts(5), 8, "view", 3.00),      # other user: own numbering
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    out = {(r["user_id"], r["session_id"]): r for r in sessionize(e).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)]["n_events"] == 2 and out[(7, 2)]["n_events"] == 2
+    assert out[(7, 1)]["value_cents"] == 125 + 250
+    assert out[(7, 2)]["value_cents"] == 1001 + 99
+    assert out[(7, 2)]["session_start_us"] == int(ts(45).timestamp() * 1e6)
+
+
+def test_conv_stats_rollup(spark):
+    from datetime import datetime
+
+    from searchengine_spark.ops.transcripts import conv_stats
+
+    rows = [
+        ("c1", 0, "user", "hello world", "", datetime(2025, 1, 1, 0, 0)),
+        ("c1", 1, "assistant", "three token reply", "search", datetime(2025, 1, 1, 0, 1)),
+        ("c1", 2, "assistant", "done", "", datetime(2025, 1, 1, 0, 2)),
+        ("c2", 0, "user", "solo", "bash", datetime(2025, 1, 2, 0, 0)),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP_NTZ"
+    )
+    out = {r["conv_id"]: r for r in conv_stats(t).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_roles"], c1["n_tool_turns"], c1["n_tokens"]) == (3, 2, 1, 6)
+    assert c1["last_ts_us"] - c1["first_ts_us"] == 120_000_000
+    assert out["c2"]["n_tool_turns"] == 1
+
+
+def test_mix_sample_balances_sources(spark):
+    """The smallest source is kept whole (threshold == mod); larger
+    sources are cut by integer thresholds; decisions are deterministic."""
+    from searchengine_spark.ops.sampling import mix_sample
+
+    rows = [(i, "t", "small" if i < 20 else "big") for i in range(220)]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = mix_sample(d).collect()
+    kept = {r["source"]: 0 for r in out}
+    for r in out:
+        kept[r["source"]] += 1
+    assert kept["small"] == 20  # min stratum: threshold 10000 keeps all
+    # big stratum: 200 docs at threshold 10000*20//200 = 1000 → expected
+    # ~20 kept; exact set is hash-determined but must be well below 200
+    assert 0 < kept["big"] < 60
+    again = mix_sample(d.repartition(7)).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
