@@ -43,7 +43,7 @@ def _query_wallclock(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     from searchengine_spark import entry_queries as EQ
     from searchengine_spark.entry_queries import queries
     from searchengine_spark.ops.ann import ensure_ann_store
-    from searchengine_spark.streaming.events import stage_events_dir
+    from searchengine_spark.streaming.events import stage_events_dir, stage_sessionize_dir
 
     qtimes: dict[str, float] = {}
     qs = queries()
@@ -54,6 +54,7 @@ def _query_wallclock(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     EQ.ensure_syn_index(spark, sf_dir)
     ensure_ann_store(spark, sf_dir)
     stage_events_dir(sf_dir)
+    stage_sessionize_dir(sf_dir, 30)
     EQ.ensure_stream_demo(spark, sf_dir)  # bootstrap+ingest+compact = a build artifact
     EQ.direct_ctx(spark, sf_dir)  # direct-path tokenize cache (a serving artifact)
     # warm the JVM + parquet footer caches once with the cheapest query

@@ -796,6 +796,17 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_sessionize_stream(spark, sf_dir):
+    """The SAME sessionization computed by a real Structured Streaming
+    query: native merging ``session_window`` + watermark, APPEND mode
+    (each session emitted exactly once when the watermark passes its
+    close, state evicted), flushed on a bounded replay by a sentinel
+    punctuation event. Shares the batch op's oracle verbatim."""
+    from .streaming.events import events_sessionize_stream
+
+    return events_sessionize_stream(spark, sf_dir)
+
+
 def q_docs_simhash(spark, sf_dir):
     return OD.simhash_signatures(_documents(spark, sf_dir)).orderBy("doc_id")
 
@@ -1271,7 +1282,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mix_sample": q_docs_mix_sample,
         "conv_turn_stats": q_conv_turn_stats,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_stream": q_events_sessionize_stream,
     }
+
+
+# shared by events_sessionize (batch window chain) and
+# events_sessionize_stream (Structured Streaming session_window):
+# both must reproduce this exact per-session rollup
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+g AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              AS BIGINT) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1605,27 +1644,9 @@ SELECT conv_id,
 FROM t GROUP BY conv_id ORDER BY conv_id
 """,
         # 30-min-gap sessionization; integer micros + integer cents so
-        # the value hash is aggregation-order-proof
-        "events_sessionize": """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
-),
-f AS (
-  SELECT user_id, event_id, ts_us, value,
-         CASE WHEN lag(ts_us) OVER w IS NULL
-                   OR ts_us - lag(ts_us) OVER w > 1800000000
-              THEN 1 ELSE 0 END AS is_new
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-),
-g AS (
-  SELECT user_id, ts_us, value,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
-              AS BIGINT) AS session_id
-  FROM f
-)
-SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
-""",
+        # the value hash is aggregation-order-proof. The batch op and
+        # the Structured Streaming session_window query share ONE
+        # oracle — they must be result-identical.
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_sessionize_stream": _SESSIONIZE_SQL,
     }

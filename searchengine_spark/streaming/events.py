@@ -74,6 +74,105 @@ def stage_events_dir(sf_dir: str, root: str = "/root/repo/data/stream_events") -
     return d
 
 
+def stage_sessionize_dir(
+    sf_dir: str, gap_minutes: int, root: str = "/root/repo/data/stream_sessions"
+) -> str:
+    """Staged file-stream dir for the sessionization stream: the
+    driver's events.parquet plus ONE sentinel row (user_id=-1) dated
+    past every possible session end (max ts + gap + 1h). On a bounded
+    replay the watermark can never pass a real user's final session end
+    (last event + gap > global max ts by construction), so an
+    append-mode session aggregation would hold every final session
+    forever; the sentinel is the standard punctuation/flush event that
+    advances the watermark past all real sessions. Idempotent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(root, f"{name}-gap{gap_minutes}")
+    marker = os.path.join(d, "part-00000.parquet")
+    sentinel = os.path.join(d, "part-00001.parquet")
+    if not os.path.exists(sentinel):
+        os.makedirs(d, exist_ok=True)
+        src = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(marker):
+            shutil.copyfile(src, marker + ".tmp")
+            os.rename(marker + ".tmp", marker)
+        tab = pq.read_table(src, columns=["ts"])
+        max_us = pc.max(tab.column("ts")).cast(pa.int64()).as_py()
+        flush_us = max_us + (gap_minutes + 60) * 60 * 1_000_000
+        row = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([flush_us], pa.timestamp("us")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        )
+        pq.write_table(row, sentinel + ".tmp")
+        os.rename(sentinel + ".tmp", sentinel)
+    return d
+
+
+def events_sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap sessionization computed BY A STREAMING QUERY: Spark's native
+    ``session_window`` (merging event-time windows) with a watermark,
+    APPEND output — the production mode, where a session row is emitted
+    exactly once, when the watermark passes its close (state for merged
+    windows is then evicted; ``availableNow``'s trailing no-data batch
+    performs the final eviction). Result-identical to the batch
+    :func:`..ops.sessions.sessionize` (same oracle SQL): w.start = the
+    session's first event, w.end = last event + gap, so the batch op's
+    ``session_end_us`` is ``w.end - gap``. Session numbering (1..n per
+    user) is post-query result shaping on the emitted rows."""
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    d = stage_sessionize_dir(sf_dir, gap_minutes)
+    name = "events_sessions_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name).where(F.col("user_id") >= 0)
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return (
+        res.select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+            "value_cents",
+        )
+        .withColumn("session_id", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id", "session_id", "n_events",
+            "session_start_us", "session_end_us", "value_cents",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(hour, event_type) rollup computed BY A STREAMING QUERY:
     ``readStream`` over the staged events dir, 1-hour event-time

@@ -530,3 +530,19 @@ def test_compact_during_live_socket_stream(spark, transcripts):
         assert set(ids) == set(sent)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """The Structured Streaming session_window query and the batch
+    window-chain sessionize are result-identical on the same events
+    (the sentinel punctuation row must flush every real session and
+    never leak into the output)."""
+    from searchengine_spark.ops.sessions import sessionize
+    from searchengine_spark.streaming.events import events_sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in sessionize(spark.read.parquet(f"{sf_dir}/events.parquet")).collect()]
+    stream = [tuple(r) for r in events_sessionize_stream(spark, sf_dir).collect()]
+    assert len(batch) == len(stream) > 0
+    assert batch == stream
+    assert all(r[0] >= 0 for r in stream)  # sentinel user filtered
