@@ -53,8 +53,12 @@ def _query_wallclock(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     # index_build section
     EQ.ensure_syn_index(spark, sf_dir)
     ensure_ann_store(spark, sf_dir)
+    from searchengine_spark.corpus import ensure_transcripts, sf_from_dir
+    from searchengine_spark.streaming.assemble import stage_turn_stream_dir
+
     stage_events_dir(sf_dir)
     stage_sessionize_dir(sf_dir, 30)
+    stage_turn_stream_dir(ensure_transcripts(sf_from_dir(sf_dir)), 60)
     EQ.ensure_stream_demo(spark, sf_dir)  # bootstrap+ingest+compact = a build artifact
     EQ.direct_ctx(spark, sf_dir)  # direct-path tokenize cache (a serving artifact)
     # warm the JVM + parquet footer caches once with the cheapest query

@@ -788,6 +788,44 @@ def q_conv_turn_stats(spark, sf_dir):
     return conv_stats(load_transcripts(spark, sf_dir))
 
 
+def q_conv_role_sequence(spark, sf_dir):
+    """Per-conversation ORDER-SENSITIVE role signature (one initial per
+    turn, in turn_idx order) — an ordered concatenation, computed batch
+    via array_sort(collect_list(struct)) so the whole aggregate stays
+    JVM-side. The stateful streaming twin (conv_assemble_stream) must
+    reproduce this exactly."""
+    t = load_transcripts(spark, sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("turn_idx"), F.substring("role", 1, 1).alias("ri"))
+                )
+            ),
+            lambda s: s["ri"],
+        ),
+        "",
+    )
+    return (
+        t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"), seq.alias("role_seq"))
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_assemble_stream(spark, sf_dir):
+    """The same conversation signatures computed by a STATEFUL streaming
+    query: applyInPandasWithState buffers each conversation's turns in
+    keyed state and emits once, when the event-time watermark passes
+    the conversation's close (last turn + gap) — the custom stateful
+    operator surface built-in aggregates can't express."""
+    from .streaming.assemble import assemble_conversations_stream
+
+    return assemble_conversations_stream(
+        spark, ensure_transcripts(sf_from_dir(sf_dir))
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events
     table: one user_id-partitioned window chain → per-session rollup."""
@@ -1283,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turn_stats": q_conv_turn_stats,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_stream": q_events_sessionize_stream,
+        "conv_role_sequence": q_conv_role_sequence,
+        "conv_assemble_stream": q_conv_assemble_stream,
     }
 
 
@@ -1310,6 +1350,14 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def _role_seq_sql(path: str) -> str:
+    return f"""
+SELECT conv_id, COUNT(*) AS n_turns,
+       string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS role_seq
+FROM read_parquet('{path}') GROUP BY conv_id ORDER BY conv_id
 """
 
 
@@ -1649,4 +1697,8 @@ FROM t GROUP BY conv_id ORDER BY conv_id
         # oracle — they must be result-identical.
         "events_sessionize": _SESSIONIZE_SQL,
         "events_sessionize_stream": _SESSIONIZE_SQL,
+        # batch ordered-aggregate and stateful-streaming twin share one
+        # oracle: the order-sensitive per-conversation role signature
+        "conv_role_sequence": _role_seq_sql(path),
+        "conv_assemble_stream": _role_seq_sql(path),
     }

@@ -546,3 +546,44 @@ def test_sessionize_stream_matches_batch(spark):
     assert len(batch) == len(stream) > 0
     assert batch == stream
     assert all(r[0] >= 0 for r in stream)  # sentinel user filtered
+
+
+def test_conv_assembly_merges_state_across_batches(spark, tmp_path):
+    """A conversation whose turns arrive in DIFFERENT micro-batches must
+    assemble from keyed state: two staged files split the turns, a third
+    carries the sentinel; maxFilesPerTrigger=1 forces three batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.streaming.assemble import SENTINEL_CONV, run_assembly
+
+    base_us = 1_700_000_000_000_000
+
+    def turns_table(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array(["x"] * len(rows), pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string()),
+                "ts": pa.array([base_us + r[1] * 13_000_000 for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    d = str(tmp_path / "turns")
+    import os
+
+    os.makedirs(d)
+    # batch 1: first halves; batch 2: second halves (out of order within conv)
+    pq.write_table(turns_table([("cA", 0, "user"), ("cB", 0, "user"), ("cA", 1, "assistant")]),
+                   f"{d}/part-00000.parquet")
+    pq.write_table(turns_table([("cB", 2, "tool"), ("cA", 2, "system"), ("cB", 1, "assistant")]),
+                   f"{d}/part-00001.parquet")
+    sent = turns_table([(SENTINEL_CONV, 999999, "system")])
+    pq.write_table(sent, f"{d}/part-00002.parquet")
+
+    out = {r["conv_id"]: r for r in run_assembly(spark, d, gap_minutes=60, max_files_per_trigger=1).collect()}
+    assert set(out) == {"cA", "cB"}
+    assert out["cA"]["n_turns"] == 3 and out["cA"]["role_seq"] == "uas"
+    assert out["cB"]["n_turns"] == 3 and out["cB"]["role_seq"] == "uat"
