@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import semantics as S
@@ -788,6 +788,40 @@ def q_conv_turn_stats(spark, sf_dir):
     return conv_stats(load_transcripts(spark, sf_dir))
 
 
+def q_docs_length_profile(spark, sf_dir):
+    """Per-source token-length distribution profile (dataset-card
+    statistics): exact p50/p90/p99 as k-th order statistics
+    (rank = ceil(p*n) over a per-source window — integer-exact in any
+    engine, unlike interpolated percentiles) plus total tokens.
+    Scale: windows partition by source (no global sort); the rank scan
+    is one shuffle shared by all three quantiles."""
+    d = _documents(spark, sf_dir)
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(S.TOKEN_PATTERN_JAVA), F.lit(0))
+    )
+    t = d.select("doc_id", "source", toks.cast("long").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+
+    def pick(p):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("n_tokens"))
+        )
+
+    return (
+        r.groupBy("source")
+        .agg(
+            pick(0.50).alias("p50_tokens"),
+            pick(0.90).alias("p90_tokens"),
+            pick(0.99).alias("p99_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_conv_role_sequence(spark, sf_dir):
     """Per-conversation ORDER-SENSITIVE role signature (one initial per
     turn, in turn_idx order) — an ordered concatenation, computed batch
@@ -1323,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stream": q_events_sessionize_stream,
         "conv_role_sequence": q_conv_role_sequence,
         "conv_assemble_stream": q_conv_assemble_stream,
+        "docs_length_profile": q_docs_length_profile,
     }
 
 
@@ -1701,4 +1736,25 @@ FROM t GROUP BY conv_id ORDER BY conv_id
         # oracle: the order-sensitive per-conversation role signature
         "conv_role_sequence": _role_seq_sql(path),
         "conv_assemble_stream": _role_seq_sql(path),
+        # exact k-th order statistics (rank = ceil(p*n)) — integer-exact,
+        # engine-portable (no interpolated-percentile float risk)
+        "docs_length_profile": """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source,
+       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_tokens END) AS p99_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM r GROUP BY source ORDER BY source
+""",
     }
