@@ -587,3 +587,33 @@ def test_conv_assembly_merges_state_across_batches(spark, tmp_path):
     assert set(out) == {"cA", "cB"}
     assert out["cA"]["n_turns"] == 3 and out["cA"]["role_seq"] == "uas"
     assert out["cB"]["n_turns"] == 3 and out["cB"]["role_seq"] == "uat"
+
+
+def test_sessionize_exact_gap_boundary_agrees(spark):
+    """An event at EXACTLY prev + gap extends the session in both the
+    batch op (strict > gap rule) and native session_window (merges
+    touching intervals) — pinned so neither can drift."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.ops.sessions import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "x", 1.0),
+        (2, base + timedelta(minutes=30), 7, "x", 1.0),          # exact gap: same session
+        (3, base + timedelta(minutes=60, seconds=1), 7, "x", 1.0),  # 30m1s: new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    batch = sessionize(df).collect()
+    assert [r["n_events"] for r in batch] == [2, 1]
+    native = (
+        df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r["n"] for r in native) == [1, 2]
