@@ -38,7 +38,11 @@ def conv_stats(transcripts: DataFrame) -> DataFrame:
         t.groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
-            F.count_distinct("role").alias("n_roles"),
+            # size(collect_set) not count_distinct: role cardinality is ≤4
+            # (schema), so the set stays tiny in the map-side partial agg
+            # and the plan avoids the distinct-aggregate expand (one data
+            # Exchange instead of two)
+            F.size(F.collect_set("role")).cast("long").alias("n_roles"),
             F.sum(F.when(F.col("tool") != "", 1).otherwise(0)).alias("n_tool_turns"),
             F.sum("n_toks").alias("n_tokens"),
             F.min("ts_us").alias("first_ts_us"),
