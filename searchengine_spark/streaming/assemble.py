@@ -93,8 +93,8 @@ def _assemble_fn(gap_us: int):
             prev_idxs, prev_initials, prev_last = state.get
             idxs, initials, last_us = list(prev_idxs), list(prev_initials), prev_last
         for pdf in pdfs:
-            idxs.extend(int(x) for x in pdf["turn_idx"])
-            initials.extend(str(r)[:1] for r in pdf["role"])
+            idxs.extend(pdf["turn_idx"].to_numpy().tolist())
+            initials.extend(pdf["role"].astype("str").str.slice(0, 1).tolist())
             # ts arrives tz-aware datetime64[ns]; int64 view is NANOS
             batch_max = int(pdf["ts"].astype("int64").max()) // 1000
             last_us = max(last_us, batch_max)
