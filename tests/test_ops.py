@@ -523,3 +523,67 @@ def test_mix_sample_balances_sources(spark):
     assert 0 < kept["big"] < 60
     again = mix_sample(d.repartition(7)).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_fuzz_sessionize_matches_python_reference(spark):
+    """Random event streams (gaps clustered around the 30-min boundary)
+    must sessionize exactly like a pure-Python reference of the strict
+    > gap rule — including ties and single-event sessions."""
+    import math
+    import random
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from searchengine_spark.ops.sessions import sessionize
+
+    rng = random.Random(4242)
+    gap_us = 1800 * 1_000_000
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base + user * 1000
+        for _ in range(rng.randint(5, 60)):
+            # gaps: mostly near the boundary, some exact, some tiny/huge
+            r = rng.random()
+            if r < 0.2:
+                dt = gap_us  # exactly the gap: same session
+            elif r < 0.4:
+                dt = gap_us + 1  # just past: new session
+            elif r < 0.7:
+                dt = rng.randint(1, gap_us - 1)
+            else:
+                dt = rng.randint(gap_us + 1, 3 * gap_us)
+            t += dt
+            rows.append((eid, t, user, "x", round(rng.uniform(0, 100), 2)))
+            eid += 1
+
+    # pure-python reference of the op's exact semantics
+    by_user = defaultdict(list)
+    for e, t, u, _, v in rows:
+        by_user[u].append((t, e, v))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev, cur = 0, None, None
+        for t, e, v in evs:
+            if prev is None or t - prev > gap_us:
+                sid += 1
+                cur = expect[(u, sid)] = [0, t, t, 0]
+            cur[0] += 1
+            cur[2] = t
+            cur[3] += math.floor(v * 100)
+            prev = t
+
+    epoch = datetime(1970, 1, 1)
+    df = spark.createDataFrame(
+        [(e, epoch + timedelta(microseconds=t), u, et, v) for e, t, u, et, v in rows],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["session_start_us"], r["session_end_us"], r["value_cents"]
+        )
+        for r in sessionize(df).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
