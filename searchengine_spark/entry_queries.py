@@ -788,6 +788,13 @@ def q_conv_turn_stats(spark, sf_dir):
     return conv_stats(load_transcripts(spark, sf_dir))
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Within-doc duplicate-3-gram repetition ratio (the Gopher-style
+    boilerplate/template-spam quality filter); counts are integers, the
+    ratio derives from them."""
+    return OT.repetition(_documents(spark, sf_dir))
+
+
 def q_docs_length_profile(spark, sf_dir):
     """Per-source token-length distribution profile (dataset-card
     statistics): exact p50/p90/p99 as k-th order statistics
@@ -1358,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_role_sequence": q_conv_role_sequence,
         "conv_assemble_stream": q_conv_assemble_stream,
         "docs_length_profile": q_docs_length_profile,
+        "docs_repetition": q_docs_repetition,
     }
 
 
@@ -1756,5 +1764,26 @@ SELECT source,
        MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_tokens END) AS p99_tokens,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM r GROUP BY source ORDER BY source
+""",
+        # duplicate-3-gram repetition filter; ratio derived from the two
+        # integer counts (aggregation-order-proof)
+        "docs_repetition": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS t3
+  FROM t
+)
+SELECT doc_id, len(t3) AS n_3grams, len(list_distinct(t3)) AS n_distinct,
+       round(CASE WHEN len(t3) > 0
+                  THEN 1.0 - len(list_distinct(t3))::DOUBLE / len(t3)
+                  ELSE 0.0 END, {S.SCORE_DECIMALS}) AS rep_ratio
+FROM g ORDER BY doc_id
 """,
     }

@@ -178,3 +178,43 @@ def composition(docs: DataFrame) -> DataFrame:
         F.round(F.lit(1.0) - F.col("n_uniq_texts").cast("double") / nd, S.SCORE_DECIMALS).alias("dup_rate"),
         F.round(F.col("qsum").cast("double") / (F.lit(10000.0) * nd), S.SCORE_DECIMALS).alias("mean_quality"),
     ).orderBy("source", "lang")
+
+
+def repetition(docs: DataFrame) -> DataFrame:
+    """Within-document repetition ratio — the duplicate-3-gram quality
+    filter of large-pretraining-corpus pipelines (boilerplate, chant
+    text, and template spam score high): per doc, the fraction of word
+    3-grams that are repeats of an earlier 3-gram in the same doc.
+
+    All counting is integer (n_3grams, n_distinct); the ratio derives
+    from the two counts, so the value hashes identically across engines
+    and aggregation orders. Pure JVM column expressions (sequence +
+    transform over the token array) — scan-local, no shuffle except the
+    output ordering."""
+    toks = tokens_col(F.col("text"))
+    t3 = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", t3.alias("t3")).select(
+        "doc_id",
+        F.size("t3").cast("long").alias("n_3grams"),
+        F.size(F.array_distinct("t3")).cast("long").alias("n_distinct"),
+    )
+    return d.select(
+        "doc_id",
+        "n_3grams",
+        "n_distinct",
+        F.round(
+            F.when(
+                F.col("n_3grams") > 0,
+                1.0 - F.col("n_distinct") / F.col("n_3grams"),
+            ).otherwise(F.lit(0.0)),
+            S.SCORE_DECIMALS,
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")

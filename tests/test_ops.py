@@ -587,3 +587,19 @@ def test_fuzz_sessionize_matches_python_reference(spark):
         for r in sessionize(df).collect()
     }
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_repetition_flags_duplicated_trigrams(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),       # one distinct 3-gram
+            (2, "all words here are fully distinct ok"),
+            (3, "too few"),                              # < 3 tokens → zeros
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in OT.repetition(d).collect()}
+    assert out[1]["n_3grams"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["rep_ratio"] == 0.75
+    assert out[2]["rep_ratio"] == 0.0 and out[2]["n_3grams"] == out[2]["n_distinct"] == 5
+    assert out[3]["n_3grams"] == 0 and out[3]["rep_ratio"] == 0.0
