@@ -191,7 +191,10 @@ def repetition(docs: DataFrame) -> DataFrame:
     and aggregation orders. Pure JVM column expressions (sequence +
     transform over the token array) — scan-local, no shuffle except the
     output ordering."""
-    toks = tokens_col(F.col("text"))
+    # materialize tokens FIRST: inlining tokens_col into every
+    # element_at would re-run the regex extraction per 3-gram position
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     t3 = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -201,7 +204,7 @@ def repetition(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = docs.select("doc_id", t3.alias("t3")).select(
+    d = tokd.select("doc_id", t3.alias("t3")).select(
         "doc_id",
         F.size("t3").cast("long").alias("n_3grams"),
         F.size(F.array_distinct("t3")).cast("long").alias("n_distinct"),
