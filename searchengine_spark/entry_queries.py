@@ -788,6 +788,22 @@ def q_conv_turn_stats(spark, sf_dir):
     return conv_stats(load_transcripts(spark, sf_dir))
 
 
+def q_index_stats(spark, sf_dir):
+    """Index-honesty invariant: the BUILT artifacts' global statistics
+    (docmap row count, summed doc lengths, term-dictionary vocabulary)
+    must equal a from-scratch recomputation over the raw corpus with
+    the pinned analysis semantics — the oracle recomputes them in
+    DuckDB from the transcripts parquet, so any drift between the
+    index and the corpus (lost docs, mis-tokenized turns, vocabulary
+    truncation) fails the value hash."""
+    ix = ensure_index(spark, sf_dir)
+    docm = ix.docmap().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    terms = ix.terms().agg(F.count_distinct("term").alias("n_terms"))
+    return docm.crossJoin(terms)
+
+
 def q_docs_repetition(spark, sf_dir):
     """Within-doc duplicate-3-gram repetition ratio (the Gopher-style
     boilerplate/template-spam quality filter); counts are integers, the
@@ -1366,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_assemble_stream": q_conv_assemble_stream,
         "docs_length_profile": q_docs_length_profile,
         "docs_repetition": q_docs_repetition,
+        "index_stats": q_index_stats,
     }
 
 
@@ -1785,5 +1802,12 @@ SELECT doc_id, len(t3) AS n_3grams, len(list_distinct(t3)) AS n_distinct,
                   THEN 1.0 - len(list_distinct(t3))::DOUBLE / len(t3)
                   ELSE 0.0 END, {S.SCORE_DECIMALS}) AS rep_ratio
 FROM g ORDER BY doc_id
+""",
+        # index honesty: built-artifact global stats == raw-corpus
+        # recomputation under the pinned analysis semantics
+        "index_stats": f"""{_tok_cte(path)}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+       (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok) AS n_terms
 """,
     }
