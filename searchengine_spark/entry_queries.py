@@ -86,6 +86,15 @@ def clear_direct_cache() -> None:
         for df in cache.values():
             _unpersist_checkpointed(df)
         cache.clear()
+    # batch-search segment-metadata cache lives in the engine module
+    from .index import engine as _eng
+
+    if _eng._BATCH_META_CACHE is not None:
+        try:
+            _eng._BATCH_META_CACHE.unpersist()
+        except Exception:
+            pass
+        _eng._BATCH_META_CACHE = None
 
 
 def _unpersist_checkpointed(df: DataFrame) -> None:
@@ -819,9 +828,7 @@ def q_docs_length_profile(spark, sf_dir):
     Scale: windows partition by source (no global sort); the rank scan
     is one shuffle shared by all three quantiles."""
     d = _documents(spark, sf_dir)
-    toks = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(S.TOKEN_PATTERN_JAVA), F.lit(0))
-    )
+    toks = F.size(OD.tokens_col(F.col("text")))
     t = d.select("doc_id", "source", toks.cast("long").alias("n_tokens"))
     w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
     r = t.withColumn("rn", F.row_number().over(w)).withColumn(

@@ -414,6 +414,16 @@ PRUNE_MIN_POSTINGS = 4 * SERVING_DRIVER_MAX
 # below this (#qids × max-possible-segs) bound — ~32 B/entry → ≤128 MB
 _QUBS_BROADCAST_MAX = 4_000_000
 
+# last batch search's persisted segment-metadata frame (see
+# _prune_segments_many); released when the next batch search starts
+_BATCH_META_CACHE = None
+
+# diagnostic: the last θ-pass pick set and its EXACT postings volume
+# (Σ n over every queried (term, seg) row landing in the picked segs —
+# the quantity the SERVING_DRIVER_MAX collect gate bounds); tests
+# assert it against an independent recount
+_LAST_PICKED: dict | None = None
+
 
 from ..metrics import timed
 
@@ -854,24 +864,49 @@ def _prune_segments_many(
         [(t, [(q, float(i)) for q, i in lst]) for t, lst in term_q.items()],
         "term STRING, qs ARRAY<STRUCT<qid: STRING, idf: DOUBLE>>",
     )
+    # seg_tot = Σ n over ALL queried (term, seg) rows of the segment —
+    # computed BEFORE the per-qid explode so shared terms aren't double
+    # counted. This is the exact number of postings the θ pass collects
+    # if the segment is picked (`head` below filters on seg only), which
+    # is what the SERVING_DRIVER_MAX gate must bound; a per-qid cnt
+    # would undercount segments rich for several queries' terms.
+    w_seg = Window.partitionBy("seg")
     meta_q = (
         full.select("term", "seg", "n", "seg_max_tfnorm")
         .join(F.broadcast(tq), "term")
-        .select("seg", "n", "seg_max_tfnorm", F.explode("qs").alias("q"))
+        .withColumn("seg_tot", F.sum("n").over(w_seg))
+        .select("seg", "n", "seg_tot", "seg_max_tfnorm", F.explode("qs").alias("q"))
         .select(
             F.col("q.qid").alias("qid"),
             "seg",
             "n",
+            "seg_tot",
             (F.col("q.idf") * F.col("seg_max_tfnorm")).alias("part"),
         )
         .groupBy("qid", "seg")
-        .agg(F.sum("part").alias("ub"), F.sum("n").alias("cnt"))
+        .agg(
+            F.sum("part").alias("ub"),
+            F.sum("n").alias("cnt"),
+            F.first("seg_tot").alias("seg_tot"),
+        )
     )
+    # meta_q feeds three plans (top-meta collect, survivor semi-join,
+    # seg_ubs broadcast) — cache it so the metadata scan + shuffle run
+    # once per batch; the previous batch's cache is released here (the
+    # stale handle would only recompute, never mis-answer).
+    global _BATCH_META_CACHE
+    if _BATCH_META_CACHE is not None:
+        try:
+            _BATCH_META_CACHE.unpersist()
+        except Exception:
+            pass
+    meta_q = meta_q.persist()
+    _BATCH_META_CACHE = meta_q
     w = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("seg"))
     top_meta = (
         meta_q.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= overfetch * k)
-        .select("qid", "seg", "cnt")
+        .select("qid", "seg", "cnt", "seg_tot")
         .collect()  # ≤ #qids · overfetch·k metadata rows
     )
     by_qid: dict[str, list] = {}
@@ -886,9 +921,11 @@ def _prune_segments_many(
                 break
             if int(r["seg"]) not in picked_segs:
                 picked_segs.add(int(r["seg"]))
-                picked_n += int(r["cnt"])
+                picked_n += int(r["seg_tot"])
             acc += int(r["cnt"])
     scan_cols = ["term", "seg", "postings", "block_max_tfnorm", "seg_max_tfnorm"]
+    global _LAST_PICKED
+    _LAST_PICKED = {"segs": sorted(picked_segs), "n": picked_n}
     if not picked_segs:
         return full.select("term", "postings"), {}
 

@@ -18,15 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import semantics as S
+from .dedup import tokens_col
 
 
 def conv_stats(transcripts: DataFrame) -> DataFrame:
     """(conv_id, n_turns, n_roles, n_tool_turns, n_tokens,
     first_ts_us, last_ts_us) — per-conversation shape rollup."""
-    toks = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(S.TOKEN_PATTERN_JAVA), F.lit(0)
-    )
+    toks = tokens_col(F.col("text"))
     t = transcripts.select(
         "conv_id",
         "role",

@@ -101,7 +101,13 @@ def _assemble_fn(gap_us: int):
         state.update((idxs, initials, last_us))
         # close the conversation when the watermark passes last turn + gap;
         # nothing is emitted on update (yield nothing — cheaper than an
-        # empty frame per group per batch)
+        # empty frame per group per batch). close_ms ≥ watermark is an
+        # invariant here, not luck: the stateful operator late-filters
+        # input rows older than the watermark before they reach this fn,
+        # so every row seen has ts ≥ wm and close = max_ts + gap ≥ wm.
+        # (Do NOT clamp to wm+1 "to be safe" — on a bounded replay the
+        # watermark may never advance again and a wm+1 timeout would
+        # strand the conversation in state forever.)
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
 
     return fn
@@ -142,6 +148,12 @@ def stage_turn_stream_dir(
         )
         pq.write_table(row, sentinel + ".tmp")
         os.rename(sentinel + ".tmp", sentinel)
+        # the file source orders micro-batches by mtime; back-to-back
+        # writes can tie at ms granularity and let the sentinel batch
+        # run before the data under maxFilesPerTrigger, late-dropping
+        # every real turn. Pin the sentinel strictly after the marker.
+        m = os.stat(marker)
+        os.utime(sentinel, (m.st_atime + 2, m.st_mtime + 2))
     return d
 
 
@@ -173,6 +185,11 @@ def run_assembly(
         reader.parquet(stream_dir)
         .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
         .withWatermark("ts", "0 seconds")
+        # prune BEFORE the stateful operator: Catalyst can't push column
+        # pruning through a Python state fn, and `text` (the dominant
+        # bytes per turn) would otherwise ride the state-store shuffle +
+        # Arrow transfer only to be dropped inside _assemble_fn
+        .select("conv_id", "turn_idx", "role", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
             _assemble_fn(gap_us),

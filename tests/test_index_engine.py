@@ -230,6 +230,20 @@ def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeyp
     for col in ("block_max_tfnorm", "seg_max_tfnorm", "qubs"):
         assert col in pruned.columns, col
 
+    # the SERVING_DRIVER_MAX gate's accounting must equal the EXACT
+    # volume the θ pass would collect: Σ n over ALL queried (term, seg)
+    # rows in the picked segments — multiple queries sharing a rich
+    # segment may not inflate the count past what `head` pulls, and a
+    # per-qid cnt must not undercount it (driver-OOM guard regression)
+    picked = E._LAST_PICKED
+    assert picked is not None and picked["segs"]
+    exact = (
+        full.where(F.col("seg").isin(picked["segs"]))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert picked["n"] == exact, (picked["n"], exact)
+
     # distributed-θ fallback: force the pick set past the driver cap
     monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)
     assert rows(search_many(ixp, batch, prune=True, driver=False)) == unpruned

@@ -582,6 +582,13 @@ def test_conv_assembly_merges_state_across_batches(spark, tmp_path):
                    f"{d}/part-00001.parquet")
     sent = turns_table([(SENTINEL_CONV, 999999, "system")])
     pq.write_table(sent, f"{d}/part-00002.parquet")
+    # the file source orders micro-batches by modification time; three
+    # writes can tie at ms granularity, letting the sentinel batch run
+    # FIRST (its watermark then late-drops every real turn → empty
+    # output). Pin strictly increasing mtimes so batch order is the
+    # staged order.
+    for i in range(3):
+        os.utime(f"{d}/part-0000{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
 
     out = {r["conv_id"]: r for r in run_assembly(spark, d, gap_minutes=60, max_files_per_trigger=1).collect()}
     assert set(out) == {"cA", "cB"}
