@@ -56,9 +56,15 @@ def _query_wallclock(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     from searchengine_spark.corpus import ensure_transcripts, sf_from_dir
     from searchengine_spark.streaming.assemble import stage_turn_stream_dir
 
+    from searchengine_spark.ops.sessions import SESSION_GAP_MINUTES
+    from searchengine_spark.streaming.assemble import ASSEMBLY_GAP_MINUTES
+
     stage_events_dir(sf_dir)
-    stage_sessionize_dir(sf_dir, 30)
-    stage_turn_stream_dir(ensure_transcripts(sf_from_dir(sf_dir)), 60)
+    # gaps come from the ops' own defaults so the pre-staged dirs always
+    # match what the timed queries stage (a mismatch would silently move
+    # the artifact build inside the measured window)
+    stage_sessionize_dir(sf_dir, SESSION_GAP_MINUTES)
+    stage_turn_stream_dir(ensure_transcripts(sf_from_dir(sf_dir)), ASSEMBLY_GAP_MINUTES)
     EQ.ensure_stream_demo(spark, sf_dir)  # bootstrap+ingest+compact = a build artifact
     EQ.direct_ctx(spark, sf_dir)  # direct-path tokenize cache (a serving artifact)
     # warm the JVM + parquet footer caches once with the cheapest query

@@ -86,15 +86,10 @@ def clear_direct_cache() -> None:
         for df in cache.values():
             _unpersist_checkpointed(df)
         cache.clear()
-    # batch-search segment-metadata cache lives in the engine module
-    from .index import engine as _eng
+    # batch-search segment-metadata cache is owned by the engine module
+    from .index.engine import clear_batch_meta_cache
 
-    if _eng._BATCH_META_CACHE is not None:
-        try:
-            _eng._BATCH_META_CACHE.unpersist()
-        except Exception:
-            pass
-        _eng._BATCH_META_CACHE = None
+    clear_batch_meta_cache()
 
 
 def _unpersist_checkpointed(df: DataFrame) -> None:

@@ -285,6 +285,23 @@ def _idf(n_docs: int, df: int) -> float:
 _THETA_EPS = 1e-9
 
 
+def _decode_tfnorm(blob: bytes, avgdl: float) -> tuple["object", "object"]:
+    """Decode one postings blob → (doc_ints, tfnorm) float64 arrays.
+    THE single home of the BM25 tf-normalization expression on the
+    decode side — every scorer (executor mapInPandas and driver numpy)
+    must call this so the association order stays bit-identical to
+    ``bm25_score_expr`` and the plans can never desynchronize."""
+    import numpy as np
+
+    k1, b = S.K1, S.B
+    docs, tfs, dls = decode_postings(blob)
+    tfd = tfs.astype(np.float64)
+    dld = dls.astype(np.float64)
+    # identical association to bm25_score_expr → bit-equal f64
+    tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+    return docs, tfn
+
+
 def _make_scorer(idfs: dict[str, float], avgdl: float, theta: float = 0.0):
     """mapInPandas stage: decode segments → per-entry contributions.
 
@@ -317,11 +334,7 @@ def _make_scorer(idfs: dict[str, float], avgdl: float, theta: float = 0.0):
                 pdf["term"], pdf["postings"], pdf["block_max_tfnorm"], seg_ubs, seg_maxes
             ):
                 idf = idfs[term]
-                docs, tfs, dls = decode_postings(bytes(blob))
-                tfd = tfs.astype(np.float64)
-                dld = dls.astype(np.float64)
-                # identical association to bm25_score_expr → bit-equal f64
-                tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+                docs, tfn = _decode_tfnorm(bytes(blob), avgdl)
                 contrib = idf * tfn
                 if prune:
                     other = float(seg_ub) - idf * float(seg_max)
@@ -375,10 +388,7 @@ def _score_rows_driver(
     ds, cs = [], []
     for r in rows:
         idf = idfs[r["term"]]
-        docs, tfs, dls = decode_postings(bytes(r["postings"]))
-        tfd = tfs.astype(np.float64)
-        dld = dls.astype(np.float64)
-        tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+        docs, tfn = _decode_tfnorm(bytes(r["postings"]), avgdl)
         ds.append(docs)
         cs.append(idf * tfn)
     if not ds:
@@ -423,6 +433,18 @@ _BATCH_META_CACHE = None
 # the quantity the SERVING_DRIVER_MAX collect gate bounds); tests
 # assert it against an independent recount
 _LAST_PICKED: dict | None = None
+
+
+def clear_batch_meta_cache() -> None:
+    """Release the persisted batch segment-metadata frame (owned here;
+    external callers must use this rather than touching the global)."""
+    global _BATCH_META_CACHE
+    if _BATCH_META_CACHE is not None:
+        try:
+            _BATCH_META_CACHE.unpersist()
+        except Exception:
+            pass
+        _BATCH_META_CACHE = None
 
 
 from ..metrics import timed
@@ -557,7 +579,7 @@ def _hydrate_pairs(ix: IndexHandle, sel: list[tuple[int, float]]) -> DataFrame:
             .collect()
         }
     out = sorted(((id2name[d], s) for d, s in sel), key=lambda x: (-x[1], x[0]))
-    return _result_df(ix.spark, [(d, round(s, S.SCORE_DECIMALS)) for d, s in out])
+    return _result_df(ix.spark, [(d, S.round_score(s)) for d, s in out])
 
 
 def _search_driver(
@@ -895,11 +917,7 @@ def _prune_segments_many(
     # once per batch; the previous batch's cache is released here (the
     # stale handle would only recompute, never mis-answer).
     global _BATCH_META_CACHE
-    if _BATCH_META_CACHE is not None:
-        try:
-            _BATCH_META_CACHE.unpersist()
-        except Exception:
-            pass
+    clear_batch_meta_cache()
     meta_q = meta_q.persist()
     _BATCH_META_CACHE = meta_q
     w = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("seg"))
@@ -987,13 +1005,9 @@ def _decode_rows_per_term(rows: list, avgdl: float) -> dict[str, list]:
     :func:`_make_batch_scorer`."""
     import numpy as np
 
-    k1, b = S.K1, S.B
     per_term: dict[str, list] = {}
     for r in rows:
-        docs, tfs, dls = decode_postings(bytes(r["postings"]))
-        tfd = tfs.astype(np.float64)
-        dld = dls.astype(np.float64)
-        tfn = tfd * (k1 + 1.0) / (tfd + k1 * ((1.0 - b) + b * dld / avgdl))
+        docs, tfn = _decode_tfnorm(bytes(r["postings"]), avgdl)
         per_term.setdefault(r["term"], []).append((docs, tfn))
     return per_term
 
@@ -1093,7 +1107,7 @@ def _search_many_driver(
         for d, s in hydrated:
             out_q.append(qid)
             out_d.append(d)
-            out_s.append(round(s, S.SCORE_DECIMALS))
+            out_s.append(S.round_score(s))
     pdf = pd.DataFrame(
         {
             "qid": np.array(out_q, dtype=object),

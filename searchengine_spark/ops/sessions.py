@@ -26,8 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# default inactivity gap; bench.py pre-stages the matching artifact dir
+SESSION_GAP_MINUTES = 30
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
     """(user_id, session_id, n_events, session_start_us, session_end_us,
     value_cents) — sessions split at > ``gap_minutes`` of inactivity."""
     gap_us = int(gap_minutes) * 60 * 1_000_000

@@ -141,7 +141,7 @@ class OracleIndex:
                 hits = _stable_desc(hits, by_id, sort_field)
         else:
             hits.sort(key=lambda h: (-h[1], h[0]))
-        return [(d, round(s, S.SCORE_DECIMALS)) for d, s in hits[:k]]
+        return [(d, S.round_score(s)) for d, s in hits[:k]]
 
 
 def _stable_desc(hits, by_id, field_name):

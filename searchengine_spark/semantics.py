@@ -79,3 +79,17 @@ def idf(n_docs: int, df: int) -> float:
 
 def tf_norm(tf: float, dl: float, avgdl: float) -> float:
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def round_score(x: float) -> float:
+    """Round a driver-side score EXACTLY like Spark's ``F.round`` on a
+    DoubleType column (BigDecimal.valueOf → Double.toString shortest
+    repr → HALF_UP): Python's ``repr`` yields the same shortest decimal
+    string, quantized here with ROUND_HALF_UP. The builtin ``round`` is
+    half-EVEN and can differ by one unit at the rounding digit, letting
+    the driver fast path and the distributed plan of the same query
+    disagree."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-SCORE_DECIMALS)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))

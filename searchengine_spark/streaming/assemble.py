@@ -48,6 +48,9 @@ from pyspark.sql.types import (
 
 SENTINEL_CONV = "\x00sentinel"
 
+# default conversation-close gap; bench.py pre-stages the matching dir
+ASSEMBLY_GAP_MINUTES = 60
+
 TURN_SCHEMA = (
     "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, "
     "ts TIMESTAMP_NTZ"
@@ -94,7 +97,12 @@ def _assemble_fn(gap_us: int):
             idxs, initials, last_us = list(prev_idxs), list(prev_initials), prev_last
         for pdf in pdfs:
             idxs.extend(pdf["turn_idx"].to_numpy().tolist())
-            initials.extend(pdf["role"].astype("str").str.slice(0, 1).tolist())
+            # NULL role → "" so the joined signature omits it, matching
+            # the batch twin (array_join skips nulls) and the DuckDB
+            # string_agg oracle; a bare astype(str) would emit "N"one
+            initials.extend(
+                pdf["role"].fillna("").astype("str").str.slice(0, 1).tolist()
+            )
             # ts arrives tz-aware datetime64[ns]; int64 view is NANOS
             batch_max = int(pdf["ts"].astype("int64").max()) // 1000
             last_us = max(last_us, batch_max)
@@ -158,7 +166,7 @@ def stage_turn_stream_dir(
 
 
 def assemble_conversations_stream(
-    spark: SparkSession, transcripts_path: str, gap_minutes: int = 60
+    spark: SparkSession, transcripts_path: str, gap_minutes: int = ASSEMBLY_GAP_MINUTES
 ) -> DataFrame:
     """Run the stateful assembly over the staged turn stream and return
     the emitted conversation summaries (sentinel filtered), ordered."""

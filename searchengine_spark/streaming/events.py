@@ -114,11 +114,16 @@ def stage_sessionize_dir(
         )
         pq.write_table(row, sentinel + ".tmp")
         os.rename(sentinel + ".tmp", sentinel)
+        # the file source orders micro-batches by mtime; a tie could run
+        # the sentinel batch first under maxFilesPerTrigger and late-drop
+        # every real event (same hazard as assemble.stage_turn_stream_dir)
+        m = os.stat(marker)
+        os.utime(sentinel, (m.st_atime + 2, m.st_mtime + 2))
     return d
 
 
 def events_sessionize_stream(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+    spark: SparkSession, sf_dir: str, gap_minutes: int | None = None
 ) -> DataFrame:
     """Gap sessionization computed BY A STREAMING QUERY: Spark's native
     ``session_window`` (merging event-time windows) with a watermark,
@@ -130,6 +135,10 @@ def events_sessionize_stream(
     session's first event, w.end = last event + gap, so the batch op's
     ``session_end_us`` is ``w.end - gap``. Session numbering (1..n per
     user) is post-query result shaping on the emitted rows."""
+    if gap_minutes is None:
+        from ..ops.sessions import SESSION_GAP_MINUTES
+
+        gap_minutes = SESSION_GAP_MINUTES
     from pyspark.sql import Window
 
     gap_us = gap_minutes * 60 * 1_000_000
