@@ -88,7 +88,21 @@ def round_score(x: float) -> float:
     string, quantized here with ROUND_HALF_UP. The builtin ``round`` is
     half-EVEN and can differ by one unit at the rounding digit, letting
     the driver fast path and the distributed plan of the same query
-    disagree."""
+    disagree.
+
+    JDK caveat: ``repr == Double.toString`` is guaranteed only on
+    JDK ≥ 19 (JDK-4511638 made ``Double.toString`` emit the shortest
+    round-tripping decimal, same contract as CPython's ``repr``).
+    Earlier JDKs can emit a LONGER (never different-valued) decimal for
+    some doubles; a longer string only changes HALF_UP quantization if
+    the extra digits straddle the boundary at ``SCORE_DECIMALS + 1``,
+    which also requires the shorter repr to end in an exact trailing
+    ``5`` at that place — BM25 scores (transcendental idf·tfnorm sums)
+    essentially never land there, and
+    ``tests/test_fuzz_rank_identity.py::test_round_score_matches_jvm_round``
+    fuzzes the boundary region against ``F.round`` ON THE DEPLOYED JVM
+    (JDK 17 here) every run, so a deployment where the parity claim
+    breaks fails loudly instead of silently mis-ranking ties."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal(1).scaleb(-SCORE_DECIMALS)

@@ -81,3 +81,44 @@ def test_cluster_components_match_union_find(spark, edges):
         spark.createDataFrame([], "doc_a LONG, doc_b LONG, jaccard DOUBLE")
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
     assert got == expected
+
+
+def test_round_score_matches_jvm_round(spark):
+    """round_score's parity claim (driver HALF_UP over repr == Spark
+    F.round on DoubleType) is only *guaranteed* by spec on JDK >= 19,
+    where Double.toString emits the shortest round-tripping decimal
+    exactly like CPython's repr (JDK-4511638). This fuzz runs on the
+    DEPLOYED JVM (JDK 17 in this sandbox): a grid of values straddling
+    the HALF_UP boundary at SCORE_DECIMALS+1 (exact .5s, one-ulp
+    perturbations either side, BM25-scale magnitudes) plus seeded
+    random doubles must quantize identically on both paths, so a JVM
+    where the claim breaks fails this test instead of silently letting
+    the driver fast path and the distributed plan disagree by one unit
+    (semantics.py:round_score docstring)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    d = S.SCORE_DECIMALS
+    vals: list[float] = []
+    # exact boundary grid: k.xxxx5 at the (d+1)-th decimal, across the
+    # magnitudes BM25 scores live in, plus one-ulp neighbours
+    for mag in (0, 1, 2):
+        for k in range(0, 200, 7):
+            base = (k * 10 + 5) / (10 ** (d + 1)) * (10 ** mag)
+            for v in (base, math.nextafter(base, 0.0), math.nextafter(base, math.inf)):
+                vals.append(v)
+                vals.append(-v)
+    rng = random.Random(0xC0FFEE)
+    vals.extend(rng.uniform(0.0, 50.0) for _ in range(2000))
+    # values whose repr carries more digits than d+1 (the straddle case)
+    vals.extend(rng.uniform(0.0, 50.0) + 5e-6 for _ in range(500))
+
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    jvm = [r["r"] for r in df.select(F.round("x", d).alias("r")).collect()]
+    drv = [S.round_score(v) for v in vals]
+    mismatches = [
+        (v, j, p) for v, j, p in zip(vals, jvm, drv) if j != p
+    ]
+    assert not mismatches, f"{len(mismatches)} JVM/driver rounding mismatches, first: {mismatches[:3]}"
