@@ -28,6 +28,7 @@ from .ops import dedup as OD
 from .ops import multimodal as OM
 from .ops import textstats as OT
 from .query.bm25 import corpus_stats, search_direct, term_frequencies, tokenized
+from .staging import commit_staged, staged_from
 
 ORACLE_SF = 0.01  # the driver's correctness tier (TESTDATA.md)
 
@@ -305,8 +306,13 @@ def q_doc_typed_roundtrip(spark, sf_dir):
         ],
     )
     sf = sf_from_dir(sf_dir)
-    store = DocStore(spark, cfg, f"/root/repo/data/docstore/sf{sf:g}")
-    if not os.listdir(store.data_dir):
+    root = f"/root/repo/data/docstore/sf{sf:g}"
+    # manifest-gated on the source transcripts (staging.py): a
+    # regenerated corpus invalidates the stored docs instead of
+    # silently serving stale rows
+    fresh = staged_from(root, ensure_transcripts(sf))
+    store = DocStore(spark, cfg, root)
+    if not fresh:
         src = (
             load_transcripts(spark, sf_dir)
             .select(doc_id_col().alias("doc_id"), "text", "turn_idx", "tool", "ts")
@@ -323,6 +329,7 @@ def q_doc_typed_roundtrip(spark, sf_dir):
             for r in src
         }
         store.put_all(docs)
+        commit_staged(root)
     return store.fetch_df(LOOKUP_IDS)
 
 
@@ -467,8 +474,16 @@ def ensure_index(spark, sf_dir: str):
     from .index.engine import open_index
 
     sf = sf_from_dir(sf_dir)
-    cat = IndexCatalog(f"/root/repo/data/index/sf{sf:g}")
-    if cat.current() is None:
+    root = f"/root/repo/data/index/sf{sf:g}"
+    # manifest-gated on the source transcripts (staging.py): a
+    # regenerated corpus rebuilds the snapshot instead of serving stale
+    # postings behind a valid-looking CURRENT pointer
+    fresh = staged_from(root, ensure_transcripts(sf))
+    cat = IndexCatalog(root)
+    if not fresh:
+        build_index(spark, load_transcripts(spark, sf_dir), cat)
+        commit_staged(root)
+    elif cat.current() is None:  # manifest intact but snapshot missing
         build_index(spark, load_transcripts(spark, sf_dir), cat)
     return open_index(spark, cat)
 
@@ -481,8 +496,13 @@ def ensure_syn_index(spark, sf_dir):
     from .index.engine import open_index
 
     sf = sf_from_dir(sf_dir)
-    cat = IndexCatalog(f"/root/repo/data/index_syn/sf{sf:g}")
-    if cat.current() is None:
+    root = f"/root/repo/data/index_syn/sf{sf:g}"
+    fresh = staged_from(root, ensure_transcripts(sf))
+    cat = IndexCatalog(root)
+    if not fresh:
+        build_index(spark, load_transcripts(spark, sf_dir), cat, synonyms=True)
+        commit_staged(root)
+    elif cat.current() is None:  # manifest intact but snapshot missing
         build_index(spark, load_transcripts(spark, sf_dir), cat, synonyms=True)
     return open_index(spark, cat)
 
@@ -612,17 +632,15 @@ def stream_demo_root(sf: float) -> str:
 
 
 def ensure_stream_demo(spark, sf_dir: str):
-    """Bootstrap + ingest + compact the demo stream once per sf (cached)."""
+    """Bootstrap + ingest + compact the demo stream once per sf
+    (manifest-gated on the source transcripts — staging.py)."""
     import json as _json
-    import shutil
 
     sf = sf_from_dir(sf_dir)
     root = stream_demo_root(sf)
-    marker = os.path.join(root, "_READY")
     from .streaming import StreamingIndex
 
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
+    if not staged_from(root, ensure_transcripts(sf)):
         s = StreamingIndex(spark, root)
         s.bootstrap(load_transcripts(spark, sf_dir))
         src = os.path.join(root, "incoming")
@@ -632,8 +650,7 @@ def ensure_stream_demo(spark, sf_dir: str):
                 f.write(_json.dumps(m) + "\n")
         s.ingest_files(src)
         s.compact()
-        with open(marker, "w") as f:
-            f.write("ok")
+        commit_staged(root)
     return StreamingIndex(spark, root)
 
 

@@ -316,10 +316,17 @@ def ensure_ann_store(
     values (:func:`derive_ann_params`: expected rows per bucket/list ≈
     ``target_rows``), which coincide with the pinned oracle constants
     at every oracle scale; pass them explicitly to pin a layout."""
+    from ..staging import commit_staged, staged_from
+
     root = root or ann_store_root(sf_dir)
-    if os.path.exists(os.path.join(root, "meta.json")):
-        return root
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # manifest-gated freshness: rebuilt whenever the source parquet's
+    # size/mtime change OR the requested layout params differ from the
+    # ones the store was built with (staging.py)
+    if staged_from(
+        root, src, extra={"bits": bits, "n_lists": n_lists, "target_rows": target_rows}
+    ):
+        return root
     tmp = root + ".tmp"
     import shutil
 
@@ -358,6 +365,7 @@ def ensure_ann_store(
         )
     shutil.rmtree(root, ignore_errors=True)
     os.rename(tmp, root)
+    commit_staged(root)
     return root
 
 

@@ -23,6 +23,24 @@ filtered from output) — same punctuation-row technique as
 Scale: state is partitioned by conv_id across executors (state-store
 shuffle); per-conversation state is bounded by that conversation's own
 turn count; Arrow-batched pandas transfer, no per-row Python.
+
+Cost model (measured at sf0.1 = 200k turns / 28k conversations,
+local[32]): the floor is the PER-GROUP protocol of
+``applyInPandasWithState`` — pyspark's serializer does an
+arrow→pandas conversion, a JSON state-properties parse, and a pickle
+round trip PER GROUP (~4.5 ms/group here), paid once in the data batch
+(state update) and once in the timeout batch (emission). Levers that
+were measured and REJECTED: bounding the state partition count to 8
+(25 s vs 12 s — the Python work needs the parallelism), RocksDB state
+store (~11 s vs ~9 s — the store was never the bottleneck), and an
+all-JVM ``session_window + collect_list`` twin (~14-18 s — merging
+list buffers through the state store costs more than the Python
+protocol). Levers that WORK and are applied here: first-char
+extraction pushed into JVM codegen (``substring`` before the state
+op), state compacted to (array<int>, string, long) so the per-group
+pickle is one string instead of an array of strings, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` raised to 1M so the
+serializer bin-packs many groups per Arrow batch (12 s → ~9 s).
 """
 
 from __future__ import annotations
@@ -46,6 +64,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..staging import commit_staged, staged_from
+
 SENTINEL_CONV = "\x00sentinel"
 
 # default conversation-close gap; bench.py pre-stages the matching dir
@@ -67,7 +87,9 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("turn_idxs", ArrayType(IntegerType())),
-        StructField("initials", ArrayType(StringType())),
+        # one char per turn, same order as turn_idxs: a single string
+        # pickles/unpickles per group far cheaper than array<string>
+        StructField("initials", StringType()),
         StructField("last_ts_us", LongType()),
     ]
 )
@@ -77,9 +99,11 @@ def _assemble_fn(gap_us: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.hasTimedOut:
             idxs, initials, _ = state.get
-            order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+            order = np.argsort(np.asarray(idxs, dtype=np.int64), kind="stable")
             state.remove()
             yield pd.DataFrame(
                 {
@@ -90,19 +114,18 @@ def _assemble_fn(gap_us: int):
             )
             return
         idxs: list[Any] = []
-        initials: list[str] = []
+        initials = ""
         last_us = 0
         if state.exists:
             prev_idxs, prev_initials, prev_last = state.get
-            idxs, initials, last_us = list(prev_idxs), list(prev_initials), prev_last
+            idxs, initials, last_us = list(prev_idxs), prev_initials, prev_last
         for pdf in pdfs:
             idxs.extend(pdf["turn_idx"].to_numpy().tolist())
-            # NULL role → "" so the joined signature omits it, matching
-            # the batch twin (array_join skips nulls) and the DuckDB
-            # string_agg oracle; a bare astype(str) would emit "N"one
-            initials.extend(
-                pdf["role"].fillna("").astype("str").str.slice(0, 1).tolist()
-            )
+            # `ri` is the role's first char, pre-extracted in JVM
+            # codegen (NULL role → "" there, so the joined signature
+            # omits it — matching the batch twin's array_join-skips-
+            # nulls and the DuckDB string_agg oracle)
+            initials += "".join(pdf["ri"].to_numpy().tolist())
             # ts arrives tz-aware datetime64[ns]; int64 view is NANOS
             batch_max = int(pdf["ts"].astype("int64").max()) // 1000
             last_us = max(last_us, batch_max)
@@ -125,8 +148,9 @@ def stage_turn_stream_dir(
     transcripts_path: str, gap_minutes: int, root: str = "/root/repo/data/stream_turns"
 ) -> str:
     """Transcripts parquet + one sentinel turn staged as a file-stream
-    dir (idempotent); the sentinel advances the final watermark past
-    every real conversation's close."""
+    dir (idempotent; restaged whenever the source file's size/mtime
+    change — see :mod:`..staging`); the sentinel advances the final
+    watermark past every real conversation's close."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -136,11 +160,9 @@ def stage_turn_stream_dir(
     d = os.path.join(root, f"{parent}-{name}-gap{gap_minutes}")
     marker = os.path.join(d, "part-00000.parquet")
     sentinel = os.path.join(d, "part-00001.parquet")
-    if not os.path.exists(sentinel):
-        os.makedirs(d, exist_ok=True)
-        if not os.path.exists(marker):
-            shutil.copyfile(transcripts_path, marker + ".tmp")
-            os.rename(marker + ".tmp", marker)
+    if not staged_from(d, transcripts_path, extra={"gap_minutes": gap_minutes}):
+        shutil.copyfile(transcripts_path, marker + ".tmp")
+        os.rename(marker + ".tmp", marker)
         tab = pq.read_table(transcripts_path, columns=["ts"])
         max_us = pc.max(tab.column("ts")).cast(pa.int64()).as_py()
         flush_us = max_us + (gap_minutes + 60) * 60 * 1_000_000
@@ -162,6 +184,7 @@ def stage_turn_stream_dir(
         # every real turn. Pin the sentinel strictly after the marker.
         m = os.stat(marker)
         os.utime(sentinel, (m.st_atime + 2, m.st_mtime + 2))
+        commit_staged(d)
     return d
 
 
@@ -180,10 +203,20 @@ def run_assembly(
     *,
     gap_minutes: int = 60,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """The assembly query over an already-staged turn-stream dir.
     ``max_files_per_trigger`` splits the bounded replay into multiple
-    micro-batches (tests use it to exercise cross-batch state merge)."""
+    micro-batches (tests use it to exercise cross-batch state merge).
+
+    ``state_partitions`` overrides the stateful operator's state-store
+    partition count (a per-query deploy-time choice, immutable per
+    checkpoint). Default ``None`` keeps the session's shuffle
+    partitions: measured at sf0.1/local[32], bounding it to 8 REGRESSED
+    the drain 12 s → 25 s because the per-group Python protocol (the
+    real floor — see module docstring) needs the parallelism. Only
+    bound it when micro-batches are small enough that per-partition
+    store fixed costs dominate (e.g. low-rate production trickle)."""
     gap_us = gap_minutes * 60 * 1_000_000
     name = "conv_assemble_" + uuid.uuid4().hex[:8]
     reader = spark.readStream.schema(TURN_SCHEMA)
@@ -196,8 +229,16 @@ def run_assembly(
         # prune BEFORE the stateful operator: Catalyst can't push column
         # pruning through a Python state fn, and `text` (the dominant
         # bytes per turn) would otherwise ride the state-store shuffle +
-        # Arrow transfer only to be dropped inside _assemble_fn
-        .select("conv_id", "turn_idx", "role", "ts")
+        # Arrow transfer only to be dropped inside _assemble_fn. The
+        # role's first char is likewise extracted here, in JVM codegen,
+        # so the per-group pandas work is a plain join (NULL role → ""
+        # keeps the null-role signature parity with the batch twin)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce(F.substring("role", 1, 1), F.lit("")).alias("ri"),
+            "ts",
+        )
         .groupBy("conv_id")
         .applyInPandasWithState(
             _assemble_fn(gap_us),
@@ -207,16 +248,35 @@ def run_assembly(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .where(F.col("conv_id") != SENTINEL_CONV)
-        .orderBy("conv_id")
-    )
+    # both confs bind at query START; set just around start/drain and
+    # restore (queries run sequentially in this process, so the
+    # temporary session-conf change is not observable by other work):
+    # - shuffle partitions → state partition count (checkpoint-pinned)
+    # - arrow batch size: the WithState serializer bin-packs groups
+    #   into shared Arrow batches up to this row count; the default
+    #   10k re-pays batch overhead every ~1.4k conversations (measured
+    #   12 s → ~9 s at sf0.1 when raised)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
+    # materialize off the memory sink, then drop the temp view: the
+    # sink holds emitted rows in driver memory for as long as the view
+    # pins it, so repeated calls in one session would otherwise leak
+    # both rows and catalog entries
+    res = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return res.where(F.col("conv_id") != SENTINEL_CONV).orderBy("conv_id")

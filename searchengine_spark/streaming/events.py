@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import semantics as S
+from ..staging import commit_staged, staged_from
 
 # events.parquet ships timestamps as TIMESTAMP_NTZ (parquet isAdjustedToUTC
 # = false, Spark 4 reads them as NTZ); session TZ is UTC so the LTZ cast
@@ -62,15 +63,18 @@ def nats_source(spark: SparkSession, url: str, subject: str) -> DataFrame:
 
 def stage_events_dir(sf_dir: str, root: str = "/root/repo/data/stream_events") -> str:
     """Copy the driver's events.parquet into a file-stream directory
-    (idempotent). A real deployment points readStream at the landing
-    dir its NATS/Kafka sink writes to; the copy stands in for that."""
+    (idempotent; restaged whenever the source file's size/mtime change
+    — see :mod:`..staging`). A real deployment points readStream at the
+    landing dir its NATS/Kafka sink writes to; the copy stands in for
+    that."""
     name = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(root, name)
-    marker = os.path.join(d, "part-00000.parquet")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), marker + ".tmp")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not staged_from(d, src):
+        marker = os.path.join(d, "part-00000.parquet")
+        shutil.copyfile(src, marker + ".tmp")
         os.rename(marker + ".tmp", marker)
+        commit_staged(d)
     return d
 
 
@@ -84,21 +88,20 @@ def stage_sessionize_dir(
     (last event + gap > global max ts by construction), so an
     append-mode session aggregation would hold every final session
     forever; the sentinel is the standard punctuation/flush event that
-    advances the watermark past all real sessions. Idempotent."""
+    advances the watermark past all real sessions. Idempotent;
+    restaged whenever the source file changes (:mod:`..staging`)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     name = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(root, f"{name}-gap{gap_minutes}")
+    src = os.path.join(sf_dir, "events.parquet")
     marker = os.path.join(d, "part-00000.parquet")
     sentinel = os.path.join(d, "part-00001.parquet")
-    if not os.path.exists(sentinel):
-        os.makedirs(d, exist_ok=True)
-        src = os.path.join(sf_dir, "events.parquet")
-        if not os.path.exists(marker):
-            shutil.copyfile(src, marker + ".tmp")
-            os.rename(marker + ".tmp", marker)
+    if not staged_from(d, src, extra={"gap_minutes": gap_minutes}):
+        shutil.copyfile(src, marker + ".tmp")
+        os.rename(marker + ".tmp", marker)
         tab = pq.read_table(src, columns=["ts"])
         max_us = pc.max(tab.column("ts")).cast(pa.int64()).as_py()
         flush_us = max_us + (gap_minutes + 60) * 60 * 1_000_000
@@ -119,11 +122,15 @@ def stage_sessionize_dir(
         # every real event (same hazard as assemble.stage_turn_stream_dir)
         m = os.stat(marker)
         os.utime(sentinel, (m.st_atime + 2, m.st_mtime + 2))
+        commit_staged(d)
     return d
 
 
 def events_sessionize_stream(
-    spark: SparkSession, sf_dir: str, gap_minutes: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Gap sessionization computed BY A STREAMING QUERY: Spark's native
     ``session_window`` (merging event-time windows) with a watermark,
@@ -134,7 +141,12 @@ def events_sessionize_stream(
     :func:`..ops.sessions.sessionize` (same oracle SQL): w.start = the
     session's first event, w.end = last event + gap, so the batch op's
     ``session_end_us`` is ``w.end - gap``. Session numbering (1..n per
-    user) is post-query result shaping on the emitted rows."""
+    user) is post-query result shaping on the emitted rows.
+
+    ``state_partitions`` bounds the session-window state-store
+    partition count (binds from the session conf at query start; each
+    partition costs a store instance + delta commit per micro-batch —
+    same rationale as :func:`..streaming.assemble.run_assembly`)."""
     if gap_minutes is None:
         from ..ops.sessions import SESSION_GAP_MINUTES
 
@@ -155,15 +167,27 @@ def events_sessionize_stream(
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(name).where(F.col("user_id") >= 0)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # materialize off the memory sink, then drop the temp view: the
+    # sink accumulates emitted rows in driver memory for as long as the
+    # view pins it, so repeated calls in one session would otherwise
+    # leak both rows and catalog entries
+    res = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    res = res.where(F.col("user_id") >= 0)
     w = Window.partitionBy("user_id").orderBy("session_start_us")
     return (
         res.select(
@@ -216,9 +240,12 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # materialize + drop the sink view (same driver-memory-leak
+    # rationale as events_sessionize_stream)
+    res = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
     return (
-        spark.table(name)
-        .select(
+        res.select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
