@@ -420,6 +420,12 @@ PRUNE_MIN_DOCS = 4 * (1 << 16)
 # (≥50 % for single-term qids, where the WAND bound is tight) — at
 # ~1 M decoded postings/s/core that breaks even around 10⁷ postings
 PRUNE_MIN_POSTINGS = 4 * SERVING_DRIVER_MAX
+# MUST-filtered θ establishment: extra ×4 pick-set expansion rounds
+# before giving up (θ=0) when the picked segments hold <k ALLOWED docs.
+# 3 rounds × overfetch 4 × k 10 reaches a 2560-doc candidate pool —
+# enough for ~0.5 % selectivity filters — while every round stays a
+# bounded metadata collect + a ≤2560-doc scoring job
+_PRUNE_FILTER_ROUNDS = 3
 # per-seg (qid, ub) block-skip metadata is broadcast onto the scan only
 # below this (#qids × max-possible-segs) bound — ~32 B/entry → ≤128 MB
 _QUBS_BROADCAST_MAX = 4_000_000
@@ -1141,8 +1147,18 @@ def _prune_segments(
        are collected and scored in driver numpy — the θ-establishment
        job folds into a cheap JVM collect. With a MUST filter the
        candidate job stays distributed (θ must be established among
-       ``allowed`` docs; the predicate evaluates against docmap). The
-       bound side needs no filtering either way: ub ≥ any doc's score;
+       ``allowed`` docs; the predicate evaluates against docmap), and
+       the pick set EXPANDS GEOMETRICALLY (×4 per round, up to
+       ``_PRUNE_FILTER_ROUNDS`` extra rounds) when the picked segments
+       hold fewer than k allowed docs — a selective filter thins the
+       candidates, so a pick set sized by unfiltered ub alone would
+       silently disable pruning (θ=0) exactly where the filter makes an
+       unpruned scan most wasteful. Each round re-reads metadata
+       columns and re-scores a ≤4×-larger bounded head only; if every
+       candidate segment is in view and still <k allowed docs score,
+       the corpus genuinely has <k allowed matches and θ=0 is correct.
+       The bound side needs no filtering either way: ub ≥ any doc's
+       score;
     4. survivors (``ub ≥ θ`` ∪ picked) stay a DataFrame, applied via a
        broadcast semi-join — the driver never materializes the survivor
        list either."""
@@ -1154,19 +1170,25 @@ def _prune_segments(
         .groupBy("seg")
         .agg(F.sum("part").alias("ub"), F.sum("n").alias("cnt"))
     )
-    top_meta = (
-        seg_meta.orderBy(F.desc("ub"), F.asc("seg")).limit(overfetch * k).collect()
-    )
-    picked, acc = [], 0
-    for r in top_meta:  # greedy prefix over ≤ O·k rows, driver-side
-        if acc >= overfetch * k:
-            break
-        picked.append(int(r["seg"]))
-        acc += int(r["cnt"])
+
+    def pick(limit: int) -> tuple[list[int], bool]:
+        """Greedy ub-desc prefix covering ≥ ``limit`` docs; second value
+        is True when the WHOLE candidate segment set is in the prefix
+        (no further expansion round can add anything)."""
+        top = seg_meta.orderBy(F.desc("ub"), F.asc("seg")).limit(limit).collect()
+        p, acc = [], 0
+        for r in top:
+            if acc >= limit:
+                return p, False
+            p.append(int(r["seg"]))
+            acc += int(r["cnt"])
+        return p, len(top) < limit
+
+    picked, exhausted = pick(overfetch * k)
     if not picked:
         return segs, 0.0
-    head = segs.where(F.col("seg").isin(picked))
     if allowed is None:
+        head = segs.where(F.col("seg").isin(picked))
         rows = head.select("term", "postings").collect()  # Σ-n bounded pick set
         uniq, sums, _cnt = _score_rows_driver(rows, idfs, ix.stats["avgdl"])
         if len(uniq) < k:
@@ -1175,17 +1197,31 @@ def _prune_segments(
 
         theta = float(np.sort(sums)[-k])
     else:
-        cand = (
-            head.select("term", "postings", "block_max_tfnorm")
-            .mapInPandas(_make_scorer(idfs, ix.stats["avgdl"], 0.0), "doc_int LONG, contrib DOUBLE")
-            .groupBy("doc_int")
-            .agg(F.sum("contrib").alias("sc"))
-        )
-        cand = cand.join(allowed, "doc_int", "left_semi")
-        exact = cand.orderBy(F.desc("sc")).limit(k).collect()
-        if len(exact) < k:
-            return segs, 0.0  # not enough candidates to establish a safe θ
-        theta = float(exact[-1]["sc"])
+        theta = None
+        for round_i in range(_PRUNE_FILTER_ROUNDS + 1):
+            if round_i:  # expansion round: ×4 doc target, superset pick
+                picked, exhausted = pick(overfetch * k * (4**round_i))
+            head = segs.where(F.col("seg").isin(picked))
+            cand = (
+                head.select("term", "postings", "block_max_tfnorm")
+                .mapInPandas(
+                    _make_scorer(idfs, ix.stats["avgdl"], 0.0),
+                    "doc_int LONG, contrib DOUBLE",
+                )
+                .groupBy("doc_int")
+                .agg(F.sum("contrib").alias("sc"))
+            )
+            cand = cand.join(allowed, "doc_int", "left_semi")
+            exact = cand.orderBy(F.desc("sc")).limit(k).collect()
+            if len(exact) >= k:
+                theta = float(exact[-1]["sc"])
+                break
+            if exhausted:
+                # every candidate segment scored: the corpus has <k
+                # allowed matches, an unpruned scan can't find more
+                return segs, 0.0
+        if theta is None:
+            return segs, 0.0  # selective beyond the expansion budget
     # keep ties: a pruned doc scoring exactly θ could win the doc_id tie-break.
     # Inner join (same broadcast the old semi-join used) so every surviving
     # row carries its segment's ub — the scorer derives the cross-term

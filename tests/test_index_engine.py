@@ -175,6 +175,86 @@ def test_search_many_matches_singles(spark, ix):
         assert by_q.get(qid, []) == _pairs(search_index(ix, terms)), qid
 
 
+def test_filtered_prune_expansion(spark, tmp_path_factory, monkeypatch):
+    """Under a highly selective MUST filter (0.6 % of docs) the θ pick
+    set expands geometrically until θ is established among ALLOWED docs
+    — pruning stays engaged (θ>0, strictly fewer segments survive, the
+    scorer decodes strictly fewer entries) instead of silently
+    disabling exactly where the filter makes an unpruned scan most
+    wasteful; results stay parity-identical to the unpruned plan.
+
+    Corpus layout forces every interesting regime: decoy docs (tf=8,
+    filtered OUT) fill the richest segments so the FIRST pick rounds
+    hold zero allowed docs (a uniform-ub pick would yield θ=0 and no
+    pruning); allowed docs (tf=4, one per segment) sit in mid-ub
+    segments only the expansion rounds reach; a long tf=1 background
+    tail scores below the allowed θ so its segments prune away. All
+    docs share one length, so score order is exactly tf order. A
+    score-UNCORRELATED filter provably cannot block-skip with sound
+    bounds: the k-th allowed score sits at global rank ~k/selectivity,
+    far below any 128-entry block max — so this is also the regression
+    guard that expansion fires precisely when the filter correlates
+    with score."""
+    import datetime
+
+    import searchengine_spark.index.engine as E
+    from searchengine_spark.index.engine import _idf, _prune_segments, term_meta
+
+    rows = []
+    ts = datetime.datetime(2025, 3, 1)
+    for i in range(2000):
+        if i < 128:  # decoy segments 0-1: richest ub, none allowed
+            tf, role = 8, "user"
+        elif i >= 128 and (i - 128) % 64 == 0 and i <= 128 + 64 * 11:
+            tf, role = 4, "assistant"  # 12 allowed docs, segs 2..13
+        else:
+            tf, role = 1, "user"  # background tail: prunes under θ
+        rows.append((f"c{i:07d}", 0, role, "needle " * tf + "pad " * (10 - tf), "", ts))
+    corpus = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
+    )
+    monkeypatch.setattr(B, "SEG_SPAN", 64)
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("prune_filt") / "t"))
+    build_index(spark, corpus, cat, n_buckets=8)
+    ixp = open_index(spark, cat)
+    monkeypatch.setattr(E, "PRUNE_MIN_DOCS", 0)
+    monkeypatch.setattr(E, "PRUNE_MIN_POSTINGS", 0)
+    monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 0)  # force the distributed plan
+
+    pred = F.col("role") == "assistant"  # 12/2000 = 0.6 % selectivity
+    terms = ["needle"]
+    k = 5
+    got = _pairs(search_index(ixp, terms, doc_predicate=pred, k=k))
+    want = _pairs(search_index(ixp, terms, doc_predicate=pred, k=k, prune=False))
+    assert got == want
+    assert len(got) == k  # non-vacuous: the filter leaves ≥k matches
+
+    # engagement: round 0/1 pick only decoy segments (0 allowed docs),
+    # so θ>0 here proves the expansion rounds ran; the background
+    # segments' ub = idf·tfnorm(tf=1) < θ = 5th allowed score (tf=4)
+    # must then be dropped AND their entries never decoded
+    meta = term_meta(ixp, terms)
+    idfs = {t: _idf(ixp.stats["n_docs"], meta[t][0]) for t in terms if t in meta}
+    full = ixp.postings().where(F.col("term").isin(list(idfs)))
+    allowed = ixp.docmap().where(pred).select("doc_int")
+    pruned, theta = _prune_segments(ixp, full, idfs, k=k, overfetch=4, allowed=allowed)
+    assert theta > 0.0
+    n_full, n_pruned = full.count(), pruned.count()
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    out_schema = "doc_int LONG, contrib DOUBLE"
+    skipped = (
+        pruned.select("term", "postings", "block_max_tfnorm", "seg_max_tfnorm", "seg_ub")
+        .mapInPandas(E._make_scorer(idfs, ixp.stats["avgdl"], theta), out_schema)
+        .count()
+    )
+    unskipped = (
+        full.select("term", "postings", "block_max_tfnorm")
+        .mapInPandas(E._make_scorer(idfs, ixp.stats["avgdl"], 0.0), out_schema)
+        .count()
+    )
+    assert 0 < skipped < unskipped, (skipped, unskipped)
+
+
 def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeypatch):
     """Batch-path pruning (per-qid θ, seg survivors + per-qid block
     skip): forced multi-segment layout + zero engagement gates —
