@@ -429,6 +429,13 @@ _PRUNE_FILTER_ROUNDS = 3
 # per-seg (qid, ub) block-skip metadata is broadcast onto the scan only
 # below this (#qids × max-possible-segs) bound — ~32 B/entry → ≤128 MB
 _QUBS_BROADCAST_MAX = 4_000_000
+# the batch prune's per-(term, seg) metadata is collected and the whole
+# pick/ub/survivor computation runs in driver numpy when
+# #terms × max-possible-segs fits this bound (~80 B/row → ≤80 MB): one
+# narrow JVM collect replaces the metadata shuffle + per-qid window +
+# persist of the distributed pass (which remains the fallback for
+# huge-corpus × many-term batches)
+_META_COLLECT_MAX = 1_000_000
 
 # last batch search's persisted segment-metadata frame (see
 # _prune_segments_many); released when the next batch search starts
@@ -738,6 +745,14 @@ def search_many(
         driver = total_df <= SERVING_DRIVER_MAX
     if driver:
         return _search_many_driver(ix, full, term_q, k)
+    # NOTE a whole-query hybrid split (light qids answered by a driver
+    # collect, heavy qids distributed) was measured on the 4 M-doc
+    # corpus and REJECTED: the heavy remainder pays the same fixed
+    # plan costs and the light qids ride the shared distributed scan
+    # nearly free, so the split only serialized work the cluster was
+    # doing in parallel (4.4 s both ways). The win that survives is
+    # folding the prune pass's METADATA machinery driver-side — see
+    # _prune_segments_many_driver.
     thetas: dict[str, float] | None = None
     if (
         prune
@@ -843,6 +858,137 @@ def _make_batch_scorer(
     return score_batches
 
 
+def _establish_batch_thetas(
+    ix: IndexHandle,
+    full: DataFrame,
+    term_q: dict[str, list[tuple[str, float]]],
+    k: int,
+    picked_segs: set[int],
+    picked_n: int,
+) -> dict[str, float]:
+    """Per-qid θ = k-th best exact candidate score inside the picked
+    segments. The pick set's posting count is known from metadata, so
+    when it fits SERVING_DRIVER_MAX this is ONE bounded JVM collect
+    scored in driver numpy; only an oversized pick set pays a
+    distributed candidate job. Shared by both metadata paths of
+    :func:`_prune_segments_many`."""
+    from pyspark.sql import Window
+
+    spark = ix.spark
+    pick_df = spark.createDataFrame(
+        pd.DataFrame({"seg": sorted(picked_segs)}), schema="seg LONG"
+    )
+    head = full.join(F.broadcast(pick_df), "seg", "left_semi")
+    if picked_n <= SERVING_DRIVER_MAX:
+        rows = head.select("term", "postings").collect()  # Σ-n bounded pick set
+        return _batch_thetas_driver(rows, term_q, ix.stats["avgdl"], k)
+    cand = (
+        head.select("term", "postings")
+        .mapInPandas(
+            _make_batch_scorer(term_q, ix.stats["avgdl"]),
+            "qid STRING, doc_int LONG, contrib DOUBLE",
+        )
+        .groupBy("qid", "doc_int")
+        .agg(F.sum("contrib").alias("sc"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sc"))
+    kth = (
+        cand.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == k)
+        .select("qid", "sc")
+        .collect()  # ≤ #qids rows; a qid with < k candidates gets θ=0
+    )
+    return {r["qid"]: float(r["sc"]) for r in kth}
+
+
+def _prune_segments_many_driver(
+    ix: IndexHandle,
+    full: DataFrame,
+    term_q: dict[str, list[tuple[str, float]]],
+    k: int,
+    overfetch: int,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Driver-numpy metadata path of :func:`_prune_segments_many` —
+    identical semantics (same ub definition, greedy pick, θ, survivor
+    rule, qubs attach), but the per-(term, seg) metadata is ONE narrow
+    JVM collect (≤ #terms × max_segs rows, gated by _META_COLLECT_MAX)
+    and the pick/ub/survivor computation is plain dict/loop work over
+    it: no metadata shuffle, no per-qid window, no persist — the fixed
+    prune cost a near-break-even batch pays drops ~2.5×."""
+    spark = ix.spark
+    mrows = full.select("term", "seg", "n", "seg_max_tfnorm").collect()
+    # per-seg posting totals (over ALL queried terms — the exact number
+    # the θ pass collects if the segment is picked) and per-(qid, seg)
+    # ub sums / per-qid coverage counts
+    seg_tot: dict[int, int] = {}
+    ubs: dict[tuple[str, int], float] = {}
+    cnts: dict[tuple[str, int], int] = {}
+    for r in mrows:
+        s, n, smax = int(r["seg"]), int(r["n"]), float(r["seg_max_tfnorm"])
+        seg_tot[s] = seg_tot.get(s, 0) + n
+        for qid, idf in term_q[r["term"]]:
+            key = (qid, s)
+            ubs[key] = ubs.get(key, 0.0) + idf * smax
+            cnts[key] = cnts.get(key, 0) + n
+    per_qid: dict[str, list[tuple[float, int]]] = {}
+    for (qid, s), ub in ubs.items():
+        per_qid.setdefault(qid, []).append((ub, s))
+    picked_segs: set[int] = set()
+    picked_n = 0
+    for qid in sorted(per_qid):  # deterministic pick order
+        lst = sorted(per_qid[qid], key=lambda x: (-x[0], x[1]))
+        acc = 0
+        for ub, s in lst[: overfetch * k]:
+            if acc >= overfetch * k:
+                break
+            if s not in picked_segs:
+                picked_segs.add(s)
+                picked_n += seg_tot[s]
+            acc += cnts[(qid, s)]
+    global _LAST_PICKED, _BATCH_META_CACHE
+    clear_batch_meta_cache()  # release any previous batch's cache
+    _LAST_PICKED = {"segs": sorted(picked_segs), "n": picked_n}
+    scan_cols = ["term", "seg", "postings", "block_max_tfnorm", "seg_max_tfnorm"]
+    if not picked_segs:
+        return full.select("term", "postings"), {}
+    thetas = _establish_batch_thetas(ix, full, term_q, k, picked_segs, picked_n)
+    if not thetas:
+        return full.select("term", "postings"), {}
+    # survivor rule (identical to the distributed path): a (term, seg)
+    # row is decoded iff SOME qid containing the term has
+    # ub(qid, seg) ≥ θ_qid − ε; a θ-less qid (<k candidates) keeps all
+    # its rows (θ treated as 0)
+    surv_pairs = [
+        (r["term"], int(r["seg"]))
+        for r in mrows
+        if any(
+            ubs[(qid, int(r["seg"]))] >= thetas.get(qid, 0.0) - _THETA_EPS
+            for qid, _ in term_q[r["term"]]
+        )
+    ]
+    if not surv_pairs:
+        return full.select("term", "postings"), {}
+    surv_df = spark.createDataFrame(
+        pd.DataFrame({"term": [t for t, _ in surv_pairs], "seg": [s for _, s in surv_pairs]}),
+        schema="term STRING, seg LONG",
+    )
+    scan = full.join(F.broadcast(surv_df), ["term", "seg"], "left_semi")
+    n_qids = len(per_qid)
+    max_segs = -(-ix.stats["n_docs"] // SEG_SPAN)
+    if n_qids * max_segs <= _QUBS_BROADCAST_MAX:
+        surv_segs = {s for _, s in surv_pairs}
+        qub_rows = [
+            (s, [(qid, ubs[(qid, s)]) for qid in sorted(per_qid) if (qid, s) in ubs])
+            for s in sorted(surv_segs)
+        ]
+        seg_ubs = spark.createDataFrame(
+            qub_rows, "seg LONG, qubs ARRAY<STRUCT<qid: STRING, ub: DOUBLE>>"
+        )
+        scan = scan.join(F.broadcast(seg_ubs), "seg", "left")
+        return scan.select(*scan_cols, "qubs"), thetas
+    return scan.select(*scan_cols), thetas
+
+
 def _prune_segments_many(
     ix: IndexHandle,
     full: DataFrame,
@@ -883,8 +1029,19 @@ def _prune_segments_many(
 
     The per-qid metadata window is ``partitionBy(qid)`` — parallel
     across the batch; each task sorts one query's segment METADATA
-    (~24 B/row), never postings."""
+    (~24 B/row), never postings.
+
+    When ``#terms × max_segs`` fits ``_META_COLLECT_MAX`` the whole
+    metadata computation instead runs in driver numpy off one narrow
+    collect (:func:`_prune_segments_many_driver`) — measured 1.6 s →
+    ~0.6 s of fixed prune cost on a 4 M-doc 24-term batch, which is
+    what lets ``PRUNE_MIN_POSTINGS`` sit at 2× the driver collect cap
+    instead of 4×."""
     from pyspark.sql import Window
+
+    max_segs = -(-ix.stats["n_docs"] // SEG_SPAN)
+    if len(term_q) * max_segs <= _META_COLLECT_MAX:
+        return _prune_segments_many_driver(ix, full, term_q, k, overfetch)
 
     spark = ix.spark
     qt_pairs = [(q, t) for t, lst in term_q.items() for q, _ in lst]
@@ -953,31 +1110,7 @@ def _prune_segments_many(
     if not picked_segs:
         return full.select("term", "postings"), {}
 
-    pick_df = spark.createDataFrame(
-        pd.DataFrame({"seg": sorted(picked_segs)}), schema="seg LONG"
-    )
-    head = full.join(F.broadcast(pick_df), "seg", "left_semi")
-    if picked_n <= SERVING_DRIVER_MAX:
-        rows = head.select("term", "postings").collect()  # Σ-n bounded pick set
-        thetas = _batch_thetas_driver(rows, term_q, ix.stats["avgdl"], k)
-    else:
-        cand = (
-            head.select("term", "postings")
-            .mapInPandas(
-                _make_batch_scorer(term_q, ix.stats["avgdl"]),
-                "qid STRING, doc_int LONG, contrib DOUBLE",
-            )
-            .groupBy("qid", "doc_int")
-            .agg(F.sum("contrib").alias("sc"))
-        )
-        wq = Window.partitionBy("qid").orderBy(F.desc("sc"))
-        kth = (
-            cand.withColumn("_rn", F.row_number().over(wq))
-            .where(F.col("_rn") == k)
-            .select("qid", "sc")
-            .collect()  # ≤ #qids rows; a qid with < k candidates gets θ=0
-        )
-        thetas = {r["qid"]: float(r["sc"]) for r in kth}
+    thetas = _establish_batch_thetas(ix, full, term_q, k, picked_segs, picked_n)
     if not thetas:
         return full.select("term", "postings"), {}
     theta_map = F.create_map(

@@ -329,6 +329,25 @@ def test_search_many_pruned_parity(spark, transcripts, tmp_path_factory, monkeyp
     assert rows(search_many(ixp, batch, prune=True, driver=False)) == unpruned
     monkeypatch.setattr(E, "SERVING_DRIVER_MAX", 2_000_000)
 
+    # everything above ran the driver-METADATA fast path (small corpus
+    # fits _META_COLLECT_MAX); force the distributed metadata pass and
+    # require the same results, engagement, and the same exact
+    # picked-volume accounting
+    monkeypatch.setattr(E, "_META_COLLECT_MAX", 0)
+    assert rows(search_many(ixp, batch, prune=True, driver=False)) == unpruned
+    pruned_d, thetas_d = _prune_segments_many(ixp, full, term_q, k=10, overfetch=1)
+    assert 0 < pruned_d.count() < n_full
+    assert thetas_d and all(v > 0.0 for v in thetas_d.values())
+    picked_d = E._LAST_PICKED
+    assert picked_d is not None and picked_d["segs"]
+    exact_d = (
+        full.where(F.col("seg").isin(picked_d["segs"]))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert picked_d["n"] == exact_d, (picked_d["n"], exact_d)
+    monkeypatch.setattr(E, "_META_COLLECT_MAX", 1_000_000)
+
     # corpus "too large" to pin doc names → ≤ #qids·k point-read hydration
     monkeypatch.setattr(E, "DOC_NAME_CACHE_MAX", 0)
     ix_cold = open_index(spark, cat)
