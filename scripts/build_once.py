@@ -53,11 +53,17 @@ def main() -> None:
     path = ensure_transcripts(sf)
     warm_path = ensure_transcripts(WARMUP_SF) if WARMUP_SF < sf else None
     shutil.rmtree(root, ignore_errors=True)
+    # the two-cluster-size comparison holds the JOB fixed and varies only
+    # the core budget: shuffle partitions are sized to the DATA (sf2 →
+    # 16 ≈ 4 waves on the wide side), not to the level's cpus — a
+    # core-derived count would hand each level a different physical plan
+    # (different task counts → different per-task overhead) and measure
+    # that difference instead of scalability
+    parts = int(os.environ.get("SENG_SCALING_PARTS", "0")) or max(16, round(8 * sf))
     spark = get_spark(
         f"seng-build-c{cpus}",
         master=f"local[{cpus}]",
-        # ~4 waves per stage: smooths stragglers from skewed buckets
-        shuffle_partitions=max(4 * cpus, 8),
+        shuffle_partitions=parts,
         extra_conf={"spark.local.dir": local_dir},
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -456,6 +456,77 @@ def test_large_batch_ingest(spark, transcripts):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.parametrize("at_boundary", [True, False])
+def test_large_batch_boundary_delete_heavy(spark, transcripts, monkeypatch,
+                                           at_boundary):
+    """The ``n_up > LARGE_BATCH_DOCS`` switch (window row_number vs
+    two-phase committed-parquet scan) exactly AT the boundary, with a
+    delete-heavy batch (round-4 verdict item 7). The boundary operand
+    is the POST-LWW surviving-upsert count: deletes of base docs and
+    in-batch upsert-then-delete pairs inflate n_tombstones but must
+    not move n_up across the threshold. Both paths must agree on the
+    full observable contract: meta counts, dense unique doc_ints
+    assigned in doc_id order from the watermark, and merge-on-read
+    visibility. Threshold is monkeypatched small so the test pins the
+    boundary itself, not a 65k-row ingest (the real-size two-phase
+    path is covered by test_large_batch_ingest)."""
+    from searchengine_spark.streaming import ingest as ing
+
+    thr = 512
+    monkeypatch.setattr(ing, "LARGE_BATCH_DOCS", thr)
+    # n_up == thr → window path; thr+1 → two-phase path
+    n_up = thr if at_boundary else thr + 1
+
+    root = f"/tmp/seng_boundary_{int(at_boundary)}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    base = transcripts.limit(50)
+    base_ids = [(r["conv_id"], r["turn_idx"])
+                for r in base.select("conv_id", "turn_idx").collect()[:40]]
+
+    seq = 0
+    lines = []
+    for i in range(n_up):  # surviving upserts — exactly the boundary operand
+        lines.append(json.dumps(_msg(seq, f"bnd{i:05d}", 0,
+                                     f"boundary body tok{i % 97} zebraboundary")))
+        seq += 1
+    for cid, tix in base_ids:  # delete-heavy: 40 base deletes
+        lines.append(json.dumps(_msg(seq, cid, tix, "", delete=True)))
+        seq += 1
+    for j in range(30):  # upsert-then-delete inside the batch (LWW → dead)
+        lines.append(json.dumps(_msg(seq, f"bdead{j:04d}", 0, "ephemeral zebraboundary")))
+        lines.append(json.dumps(_msg(seq + 1, f"bdead{j:04d}", 0, "", delete=True)))
+        seq += 2
+    with open(os.path.join(src, "batch.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    s = StreamingIndex(spark, os.path.join(root, "store"))
+    s.bootstrap(base)
+    try:
+        watermark = s._next_doc_int()
+        s.ingest_files(src)
+        (did,) = s.delta_ids()
+        meta = s._delta_meta(did)
+        assert meta["n_docs"] == n_up          # post-LWW survivors only
+        assert meta["n_tombstones"] == n_up + 40 + 30
+        dm = spark.read.parquet(
+            os.path.join(s.delta_root, f"delta-{did}", "docmap"))
+        rows = dm.select("doc_int", "doc_id").collect()
+        assert len(rows) == n_up
+        by_docid = sorted(rows, key=lambda r: r["doc_id"])
+        # dense, unique, watermark-based, and doc_id-ordered on BOTH paths
+        assert [r["doc_int"] for r in by_docid] == list(
+            range(watermark, watermark + n_up))
+        # merge-on-read: base − 40 deletes + survivors; dead pairs invisible
+        assert s.current_docs().count() == 50 - 40 + n_up
+        hits = {r["doc_id"] for r in s.search(["zebraboundary"], k=n_up + 50).collect()}
+        assert not any(i.startswith("bdead") for i in hits)
+        assert len(hits) == n_up
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_compact_during_live_socket_stream(spark, transcripts):
     """Round-4 concurrency contract: ``compact()`` while a continuous
     (``drain=False``) socket query is live must serialize against
