@@ -594,6 +594,18 @@ def q_bm25_indexed_multi(spark, sf_dir):
     return search_index(ensure_index(spark, sf_dir), Q_MULTI)
 
 
+def q_sql_search(spark, sf_dir):
+    """SURVEY §4.2 item 5 — the engine from PURE SQL: the search table
+    function (Python UDTF over the committed snapshot, sql.py) must be
+    value-identical to the DataFrame serving path on the same query,
+    so it shares bm25_indexed_single's oracle."""
+    from .sql import register_search_sql
+
+    ix = ensure_index(spark, sf_dir)  # publish the snapshot first
+    register_search_sql(spark, os.path.dirname(ix.snapshot.path))
+    return spark.sql(f"SELECT doc_id, score FROM search('{' '.join(Q_SINGLE)}')")
+
+
 # --------------------------------------------------------------------------
 # transcripts: streaming ingest (SURVEY §2.1 S9-S11) — deterministic
 # upsert/delete stream applied via checkpointed Structured Streaming,
@@ -1402,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_profile": q_docs_length_profile,
         "docs_repetition": q_docs_repetition,
         "index_stats": q_index_stats,
+        "sql_search": q_sql_search,
     }
 
 
@@ -1608,6 +1621,9 @@ FROM ranked WHERE rank <= 10 ORDER BY qid, rank
 """,
         "bm25_indexed_single": _bm25_sql(path, lit(Q_SINGLE)),
         "bm25_indexed_multi": _bm25_sql(path, lit(Q_MULTI)),
+        # the SQL table function serves the same snapshot + query as
+        # bm25_indexed_single → identical oracle
+        "sql_search": _bm25_sql(path, lit(Q_SINGLE)),
         "search_many_batch": "WITH "
         + ", ".join(
             f"{qid} AS ({_bm25_sql(path, lit(ts))})" for qid, ts in BATCH_QUERIES.items()
