@@ -41,6 +41,13 @@ op), state compacted to (array<int>, string, long) so the per-group
 pickle is one string instead of an array of strings, and
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` raised to 1M so the
 serializer bin-packs many groups per Arrow batch (12 s → ~9 s).
+Spark 4's ``transformWithStateInPandas`` (ValueState + event-time
+timers — the natural successor API, and the remaining unmeasured
+lever) was spiked round 5 but is blocked in this environment: its
+Python state-server protocol imports ``google.protobuf``, which this
+sandbox does not ship (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+at query start). On a deployment with protobuf it is the first thing
+to re-measure.
 """
 
 from __future__ import annotations
