@@ -42,12 +42,26 @@ pickle is one string instead of an array of strings, and
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` raised to 1M so the
 serializer bin-packs many groups per Arrow batch (12 s → ~9 s).
 Spark 4's ``transformWithStateInPandas`` (ValueState + event-time
-timers — the natural successor API, and the remaining unmeasured
-lever) was spiked round 5 but is blocked in this environment: its
-Python state-server protocol imports ``google.protobuf``, which this
-sandbox does not ship (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
-at query start). On a deployment with protobuf it is the first thing
-to re-measure.
+timers — the natural successor API) was spiked round 5 but is blocked
+in this environment: its Python state-server protocol imports
+``google.protobuf``, which this sandbox does not ship
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at query start). On a
+deployment with protobuf it is the first thing to re-measure.
+
+The lever that finally breaks the per-group floor (round 5):
+**shard-packed state**. Group by ``xxhash64(conv_id) % shards``
+instead of per conversation and hold each shard's live conversations
+as ONE packed state value (parallel arrays, SHARD_STATE_SCHEMA), so a
+batch pays the Python protocol per SHARD (1024 here) instead of per
+conversation (28k), with eviction driven directly by
+``state.getCurrentWatermarkMs()`` and the shard timer re-registered at
+the min close among survivors. Per-conversation semantics are
+unchanged (row-identical output, pinned by
+test_conv_assembly_sharded_matches_per_conv) and emission remains
+exactly-once — a conversation leaves the packed map the moment it is
+emitted. Measured at sf0.1: 8.5-9.2 s per-conv → **3.0-3.5 s** at
+shards=1024 (7.1 s at 256, 5.4 s at 4096 — too few shards starves 32
+cores, too many re-pays the protocol).
 """
 
 from __future__ import annotations
@@ -151,6 +165,101 @@ def _assemble_fn(gap_us: int):
     return fn
 
 
+# sharded state: one group per hash(conv_id)%shards, holding a MAP of
+# that shard's live conversations as parallel arrays — one Python
+# protocol round trip per SHARD per batch instead of per conversation
+SHARD_STATE_SCHEMA = StructType(
+    [
+        StructField("conv_ids", ArrayType(StringType())),
+        StructField("turn_idxs", ArrayType(ArrayType(IntegerType()))),
+        StructField("initials", ArrayType(StringType())),
+        StructField("last_ts_us", ArrayType(LongType())),
+    ]
+)
+
+
+def _assemble_sharded_fn(gap_us: int):
+    """Shard-packed twin of :func:`_assemble_fn` (same per-conversation
+    semantics, emissions keyed off the event-time watermark directly):
+    a conversation is emitted exactly once, in whichever shard
+    invocation (data or timer) first observes ``watermark ≥ close``;
+    the shard re-registers its timer at the min close among survivors,
+    which is strictly > watermark after eviction, so the timer is
+    always legal and no conversation can strand in state."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        conv_ids: list[str] = []
+        idxs: list[list[int]] = []
+        initials: list[str] = []
+        last_us: list[int] = []
+        if state.exists:
+            pc, pi, pn, pl = state.get
+            conv_ids = list(pc)
+            idxs = [list(x) for x in pi]
+            initials = list(pn)
+            last_us = list(pl)
+        index = {c: i for i, c in enumerate(conv_ids)}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                # one vectorized pandas pass per shard-batch; per-conv
+                # work is plain list appends on the shard's map
+                tidx = pdf["turn_idx"].to_numpy()
+                ri = pdf["ri"].to_numpy()
+                ts_us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns→µs
+                for conv, sub in pdf.groupby("conv_id", sort=False).indices.items():
+                    i = index.get(conv)
+                    if i is None:
+                        i = len(conv_ids)
+                        index[conv] = i
+                        conv_ids.append(conv)
+                        idxs.append([])
+                        initials.append("")
+                        last_us.append(0)
+                    idxs[i].extend(tidx[sub].tolist())
+                    initials[i] += "".join(ri[sub].tolist())
+                    last_us[i] = max(last_us[i], int(ts_us[sub].max()))
+        out_c: list[str] = []
+        out_n: list[int] = []
+        out_sig: list[str] = []
+        keep: list[int] = []
+        for i, c in enumerate(conv_ids):
+            if last_us[i] + gap_us <= wm_us:  # closed: emit exactly once
+                order = np.argsort(np.asarray(idxs[i], dtype=np.int64), kind="stable")
+                out_c.append(c)
+                out_n.append(len(idxs[i]))
+                out_sig.append("".join(initials[i][j] for j in order))
+            else:
+                keep.append(i)
+        if keep:
+            state.update(
+                (
+                    [conv_ids[i] for i in keep],
+                    [idxs[i] for i in keep],
+                    [initials[i] for i in keep],
+                    [last_us[i] for i in keep],
+                )
+            )
+            # min close among survivors is > wm (eviction is ≤ wm), so
+            # this timestamp is always legal; it fires as soon as the
+            # watermark passes the earliest surviving close
+            state.setTimeoutTimestamp(
+                (min(last_us[i] for i in keep) + gap_us) // 1000
+            )
+        elif state.exists:
+            state.remove()
+        if out_c:
+            yield pd.DataFrame(
+                {"conv_id": out_c, "n_turns": out_n, "role_seq": out_sig}
+            )
+
+    return fn
+
+
 def stage_turn_stream_dir(
     transcripts_path: str, gap_minutes: int, root: str = "/root/repo/data/stream_turns"
 ) -> str:
@@ -196,12 +305,20 @@ def stage_turn_stream_dir(
 
 
 def assemble_conversations_stream(
-    spark: SparkSession, transcripts_path: str, gap_minutes: int = ASSEMBLY_GAP_MINUTES
+    spark: SparkSession,
+    transcripts_path: str,
+    gap_minutes: int = ASSEMBLY_GAP_MINUTES,
+    shards: int | str = "auto",
 ) -> DataFrame:
     """Run the stateful assembly over the staged turn stream and return
-    the emitted conversation summaries (sentinel filtered), ordered."""
+    the emitted conversation summaries (sentinel filtered), ordered.
+    Default ``shards="auto"`` = 32× the session's shuffle-partition
+    count (the measured-fast shard-packed state layout — module
+    docstring); ``None`` selects per-conversation grouping."""
     d = stage_turn_stream_dir(transcripts_path, gap_minutes)
-    return run_assembly(spark, d, gap_minutes=gap_minutes)
+    if shards == "auto":
+        shards = 32 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return run_assembly(spark, d, gap_minutes=gap_minutes, shards=shards)
 
 
 def run_assembly(
@@ -211,10 +328,25 @@ def run_assembly(
     gap_minutes: int = 60,
     max_files_per_trigger: int | None = None,
     state_partitions: int | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """The assembly query over an already-staged turn-stream dir.
     ``max_files_per_trigger`` splits the bounded replay into multiple
     micro-batches (tests use it to exercise cross-batch state merge).
+
+    ``shards``: group the stateful operator by ``xxhash64(conv_id) %
+    shards`` instead of per conversation, packing each shard's live
+    conversations into ONE state value (:data:`SHARD_STATE_SCHEMA`).
+    This amortizes the per-group Python protocol (the measured floor,
+    see module docstring) across ~n_convs/shards conversations per
+    round trip. Sizing: want shards ≫ total cores for wave balance and
+    n_live_convs/shards small enough that a shard's packed state fits
+    comfortably in an Arrow batch — 32× the state partition count is a
+    good default at any scale (at 10^12 turns raise state partitions
+    with the cluster and shards follows). Per-conversation grouping
+    (``shards=None``) remains the default and the most natural
+    expression; sharding is the measured-fast path for drains whose
+    group count, not data volume, is the bottleneck.
 
     ``state_partitions`` overrides the stateful operator's state-store
     partition count (a per-query deploy-time choice, immutable per
@@ -246,15 +378,29 @@ def run_assembly(
             F.coalesce(F.substring("role", 1, 1), F.lit("")).alias("ri"),
             "ts",
         )
-        .groupBy("conv_id")
-        .applyInPandasWithState(
+    )
+    if shards is not None:
+        stream = (
+            stream.withColumn(
+                "shard", F.pmod(F.xxhash64("conv_id"), F.lit(shards)).cast("int")
+            )
+            .groupBy("shard")
+            .applyInPandasWithState(
+                _assemble_sharded_fn(gap_us),
+                OUTPUT_SCHEMA,
+                SHARD_STATE_SCHEMA,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+    else:
+        stream = stream.groupBy("conv_id").applyInPandasWithState(
             _assemble_fn(gap_us),
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
-    )
     # both confs bind at query START; set just around start/drain and
     # restore (queries run sequentially in this process, so the
     # temporary session-conf change is not observable by other work):

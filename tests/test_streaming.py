@@ -619,10 +619,14 @@ def test_sessionize_stream_matches_batch(spark):
     assert all(r[0] >= 0 for r in stream)  # sentinel user filtered
 
 
-def test_conv_assembly_merges_state_across_batches(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 8])
+def test_conv_assembly_merges_state_across_batches(spark, tmp_path, shards):
     """A conversation whose turns arrive in DIFFERENT micro-batches must
     assemble from keyed state: two staged files split the turns, a third
-    carries the sentinel; maxFilesPerTrigger=1 forces three batches."""
+    carries the sentinel; maxFilesPerTrigger=1 forces three batches.
+    Runs both state layouts — per-conversation and shard-packed
+    (``shards=8`` > n_convs, so some shards hold one conv, most none,
+    and the cross-batch merge goes through the packed map)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -661,10 +665,32 @@ def test_conv_assembly_merges_state_across_batches(spark, tmp_path):
     for i in range(3):
         os.utime(f"{d}/part-0000{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
 
-    out = {r["conv_id"]: r for r in run_assembly(spark, d, gap_minutes=60, max_files_per_trigger=1).collect()}
+    out = {r["conv_id"]: r for r in run_assembly(
+        spark, d, gap_minutes=60, max_files_per_trigger=1, shards=shards
+    ).collect()}
     assert set(out) == {"cA", "cB"}
     assert out["cA"]["n_turns"] == 3 and out["cA"]["role_seq"] == "uas"
     assert out["cB"]["n_turns"] == 3 and out["cB"]["role_seq"] == "uat"
+
+
+def test_conv_assembly_sharded_matches_per_conv(spark):
+    """The shard-packed state layout must be row-identical to the
+    per-conversation layout on the real corpus — single-batch and
+    multi-batch (cross-batch packed-map merge) replays both."""
+    from searchengine_spark.streaming.assemble import (
+        ASSEMBLY_GAP_MINUTES, run_assembly, stage_turn_stream_dir,
+    )
+    from searchengine_spark.corpus import ensure_transcripts
+
+    d = stage_turn_stream_dir(ensure_transcripts(0.001), ASSEMBLY_GAP_MINUTES)
+    base = [tuple(r) for r in run_assembly(spark, d).collect()]
+    assert len(base) > 0
+    sharded = [tuple(r) for r in run_assembly(spark, d, shards=64).collect()]
+    assert sharded == base
+    multi = [tuple(r) for r in run_assembly(
+        spark, d, shards=64, max_files_per_trigger=1
+    ).collect()]
+    assert multi == base
 
 
 def test_sessionize_exact_gap_boundary_agrees(spark):
