@@ -256,12 +256,12 @@ def expand_query(
     ix: IndexHandle, query: str, *, fuzzy: bool = False, synonyms: bool = False
 ) -> list[str]:
     """Whitespace split (reference search.go:116) → analyzer-normalize →
-    synonym-group then fuzzy expansion → distinct, order-preserving."""
-    from ..oracle import tokenize
+    synonym-group then fuzzy expansion → distinct, order-preserving.
+    The split+normalize core is shared with the SQL surface
+    (oracle.query_terms — one home, no drift)."""
+    from ..oracle import query_terms
 
-    base: list[str] = []
-    for raw in query.split():
-        base.extend(tokenize(raw))
+    base = query_terms(query)
     syn = S.synonym_map()
     out: list[str] = []
     for t in base:

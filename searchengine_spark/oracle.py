@@ -26,6 +26,19 @@ def tokenize(text: str) -> list[str]:
     return [t for t in _TOKEN_RE.findall(text.lower()) if t not in _STOP]
 
 
+def query_terms(query: str) -> list[str]:
+    """Whitespace split (reference `internal/search/search.go:116`) →
+    analyzer-normalize each fragment. NOT deduplicated — callers dedup
+    after their own expansions (engine.expand_query's synonym/fuzzy
+    stages, sql.py's direct dict.fromkeys). THE single home of the
+    query-analysis core so the SQL surface and the DataFrame API can
+    never drift."""
+    out: list[str] = []
+    for raw in query.split():
+        out.extend(tokenize(raw))
+    return out
+
+
 def levenshtein_leq1(a: str, b: str) -> bool:
     """True iff edit distance(a, b) <= 1 (insert/delete/substitute)."""
     la, lb = len(a), len(b)

@@ -64,15 +64,13 @@ def _current_snapshot_dirs(catalog_root: str) -> tuple[str, str, str, dict]:
 
 
 def _analyze(query: str) -> list[str]:
-    """Whitespace split → analyzer normalize (reference search.go:116),
-    distinct order-preserving — engine.expand_query's non-fuzzy,
-    non-synonym core, shared via the pinned oracle tokenizer."""
-    from .oracle import tokenize
+    """Distinct, order-preserving analyzed query terms — the SAME
+    split+normalize core the DataFrame API uses (oracle.query_terms,
+    one home, no drift); engine.expand_query adds synonym/fuzzy stages
+    on top of it."""
+    from .oracle import query_terms
 
-    out: list[str] = []
-    for raw in query.split():
-        out.extend(tokenize(raw))
-    return list(dict.fromkeys(out))
+    return list(dict.fromkeys(query_terms(query)))
 
 
 def _seg_chunks(meta_tbl, budget: int) -> list[list[int]]:
@@ -123,7 +121,11 @@ def search_snapshot_rows(
         return []
     postings_dir, docmap_dir, terms_dir, stats = _current_snapshot_dirs(catalog_root)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    budget = chunk_budget or int(os.environ.get("SENG_SERVING_DRIVER_MAX", "2000000"))
+    budget = (
+        chunk_budget
+        if chunk_budget is not None
+        else int(os.environ.get("SENG_SERVING_DRIVER_MAX", "2000000"))
+    )
 
     tmeta = ds.dataset(terms_dir, format="parquet").to_table(
         columns=["term", "df", "bucket"], filter=pc.field("term").isin(terms)
@@ -147,9 +149,16 @@ def search_snapshot_rows(
     post = ds.dataset(postings_dir, format="parquet", partitioning="hive")
     base_filter = pc.field("bucket").isin(buckets) & pc.field("term").isin(terms)
 
-    # metadata pass (term, seg, n — no blobs) sizes the blob reads
-    seg_meta = post.to_table(columns=["term", "seg", "n"], filter=base_filter)
-    chunks = _seg_chunks(seg_meta, budget)
+    # Σ df from the term dictionary already bounds total postings, so
+    # the common light query (the same gate the engine's serving fast
+    # path uses) skips the metadata pass entirely and goes one-shot;
+    # only a heavy query pays the (term, seg, n — no blobs) sizing
+    # read that drives seg-aligned chunking
+    if sum(meta[t][0] for t in terms) <= budget:
+        chunks = [[]]  # single one-shot read, no seg predicate
+    else:
+        seg_meta = post.to_table(columns=["term", "seg", "n"], filter=base_filter)
+        chunks = _seg_chunks(seg_meta, budget)
 
     cand_docs: list = []
     cand_scores: list = []
@@ -207,6 +216,10 @@ def register_search_sql(spark, catalog_root: str, *, name: str = "search") -> No
         def eval(self, query: str, k: int = S.TOP_K, mode: str = "or"):
             if query is None:
                 return
-            yield from search_snapshot_rows(root, query, int(k), str(mode))
+            # SQL NULLs degrade to the defaults rather than crashing
+            # the Python worker with int(None)/'None'
+            k = S.TOP_K if k is None else int(k)
+            mode = "or" if mode is None else str(mode)
+            yield from search_snapshot_rows(root, query, k, mode)
 
     spark.udtf.register(name, udtf(_SearchTF, returnType=_RESULT_SCHEMA))

@@ -105,6 +105,15 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# NULL/empty-role placeholder inside the packed initials string: keeps
+# the one-char-per-turn positional alignment with turn_idxs (a bare ""
+# would shift every later char against its turn and break the argsort
+# reorder) and is stripped AFTER ordering — so the emitted signature
+# omits such turns, matching the batch twin's array_join-skips-nulls
+# and the DuckDB string_agg oracle. \x00 cannot be a real initial (the
+# tokenizer/corpus never produce it; the sentinel conv is filtered).
+_NULL_ROLE_CH = "\x00"
+
 STATE_SCHEMA = StructType(
     [
         StructField("turn_idxs", ArrayType(IntegerType())),
@@ -130,7 +139,9 @@ def _assemble_fn(gap_us: int):
                 {
                     "conv_id": [key[0]],
                     "n_turns": [len(idxs)],
-                    "role_seq": ["".join(initials[i] for i in order)],
+                    "role_seq": [
+                        "".join(initials[i] for i in order).replace(_NULL_ROLE_CH, "")
+                    ],
                 }
             )
             return
@@ -150,17 +161,38 @@ def _assemble_fn(gap_us: int):
             # ts arrives tz-aware datetime64[ns]; int64 view is NANOS
             batch_max = int(pdf["ts"].astype("int64").max()) // 1000
             last_us = max(last_us, batch_max)
+        close_ms = (last_us + gap_us) // 1000
+        if close_ms < state.getCurrentWatermarkMs():
+            # split-watermark admission (Spark ≥ 3.4): late filtering
+            # uses the PREVIOUS batch's watermark, timer validation the
+            # CURRENT (eviction) one — with out-of-time-order input
+            # files a just-admitted conversation can already be closed
+            # per the eviction watermark, and registering its timer
+            # would throw "timeout cannot be earlier than watermark".
+            # Emit it now: exactly what its timer would have done.
+            order = np.argsort(np.asarray(idxs, dtype=np.int64), kind="stable")
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [len(idxs)],
+                    "role_seq": [
+                        "".join(initials[i] for i in order).replace(_NULL_ROLE_CH, "")
+                    ],
+                }
+            )
+            return
         state.update((idxs, initials, last_us))
         # close the conversation when the watermark passes last turn + gap;
         # nothing is emitted on update (yield nothing — cheaper than an
-        # empty frame per group per batch). close_ms ≥ watermark is an
-        # invariant here, not luck: the stateful operator late-filters
-        # input rows older than the watermark before they reach this fn,
-        # so every row seen has ts ≥ wm and close = max_ts + gap ≥ wm.
+        # empty frame per group per batch). close_ms ≥ watermark holds for
+        # in-time-order input (rows late-filtered against the same
+        # watermark) and the out-of-order case is handled above.
         # (Do NOT clamp to wm+1 "to be safe" — on a bounded replay the
         # watermark may never advance again and a wm+1 timeout would
         # strand the conversation in state forever.)
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        state.setTimeoutTimestamp(close_ms)
 
     return fn
 
@@ -192,7 +224,7 @@ def _assemble_sharded_fn(gap_us: int):
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = state.getCurrentWatermarkMs()
         conv_ids: list[str] = []
         idxs: list[list[int]] = []
         initials: list[str] = []
@@ -228,11 +260,18 @@ def _assemble_sharded_fn(gap_us: int):
         out_sig: list[str] = []
         keep: list[int] = []
         for i, c in enumerate(conv_ids):
-            if last_us[i] + gap_us <= wm_us:  # closed: emit exactly once
+            # ms-floored STRICT comparison = exactly when Spark would
+            # fire this conversation's event-time timer (timeout_ms <
+            # wm_ms) — so the sharded layout emits in the same batch the
+            # per-conversation layout would, and a boundary turn at
+            # ts == close merges identically in both
+            if (last_us[i] + gap_us) // 1000 < wm_ms:  # closed: emit once
                 order = np.argsort(np.asarray(idxs[i], dtype=np.int64), kind="stable")
                 out_c.append(c)
                 out_n.append(len(idxs[i]))
-                out_sig.append("".join(initials[i][j] for j in order))
+                out_sig.append(
+                    "".join(initials[i][j] for j in order).replace(_NULL_ROLE_CH, "")
+                )
             else:
                 keep.append(i)
         if keep:
@@ -244,9 +283,10 @@ def _assemble_sharded_fn(gap_us: int):
                     [last_us[i] for i in keep],
                 )
             )
-            # min close among survivors is > wm (eviction is ≤ wm), so
-            # this timestamp is always legal; it fires as soon as the
-            # watermark passes the earliest surviving close
+            # min close among survivors is ≥ wm in ms (strict eviction
+            # above), and Spark rejects only timestamps strictly EARLIER
+            # than the watermark — so this is always legal; it fires as
+            # soon as the watermark passes the earliest surviving close
             state.setTimeoutTimestamp(
                 (min(last_us[i] for i in keep) + gap_us) // 1000
             )
@@ -370,12 +410,18 @@ def run_assembly(
         # bytes per turn) would otherwise ride the state-store shuffle +
         # Arrow transfer only to be dropped inside _assemble_fn. The
         # role's first char is likewise extracted here, in JVM codegen,
-        # so the per-group pandas work is a plain join (NULL role → ""
-        # keeps the null-role signature parity with the batch twin)
+        # so the per-group pandas work is a plain join. NULL/empty role
+        # → the one-char placeholder _NULL_ROLE_CH (NOT "" — zero chars
+        # would shift the packed initials string against turn_idxs);
+        # stripped after ordering, so the signature omits such turns
+        # exactly like the batch twin's array_join-skips-nulls
         .select(
             "conv_id",
             "turn_idx",
-            F.coalesce(F.substring("role", 1, 1), F.lit("")).alias("ri"),
+            F.coalesce(
+                F.nullif(F.substring("role", 1, 1), F.lit("")),
+                F.lit(_NULL_ROLE_CH),
+            ).alias("ri"),
             "ts",
         )
     )

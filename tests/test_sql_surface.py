@@ -77,6 +77,18 @@ def test_sql_no_hits_and_stopword_only(spark, registered):
     assert spark.sql("SELECT * FROM search('spark zzzzqqqq', 10, 'and')").count() == 0
 
 
+def test_sql_null_args_degrade_to_defaults(spark, registered):
+    # NULL query → no rows; NULL k / NULL mode → defaults, not a
+    # Python-worker crash
+    assert spark.sql("SELECT * FROM search(CAST(NULL AS STRING))").count() == 0
+    rows = spark.sql(
+        "SELECT doc_id, score FROM search('spark', CAST(NULL AS INT), "
+        "CAST(NULL AS STRING)) ORDER BY rank"
+    ).collect()
+    api = _api_rows(spark, registered, ["spark"], k=10)
+    assert [(r["doc_id"], r["score"]) for r in rows] == api
+
+
 def test_sql_composes_with_sql(spark, registered):
     # the point of a table function: composable inside larger SQL
     n = spark.sql(

@@ -673,6 +673,50 @@ def test_conv_assembly_merges_state_across_batches(spark, tmp_path, shards):
     assert out["cB"]["n_turns"] == 3 and out["cB"]["role_seq"] == "uat"
 
 
+@pytest.mark.parametrize("shards", [None, 8])
+def test_conv_assembly_null_and_empty_roles(spark, tmp_path, shards):
+    """NULL and empty-string roles must contribute NOTHING to the role
+    signature (batch-twin array_join-skips-nulls semantics) while still
+    counting as turns — and must not shift later initials against their
+    turn_idx (the packed-initials string uses a stripped placeholder,
+    not a zero-width ''). Regression test: a bare '' per null role
+    desynchronized the argsort reorder and could IndexError at
+    emission."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_spark.streaming.assemble import SENTINEL_CONV, run_assembly
+
+    base_us = 1_700_000_000_000_000
+    rows = [  # (conv, turn_idx, role) — arrival order ≠ turn order
+        ("cN", 2, None), ("cN", 0, "user"), ("cN", 3, "assistant"),
+        ("cN", 1, ""), ("cE", 0, None), ("cE", 1, ""),
+    ]
+    tab = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows] + [SENTINEL_CONV], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows] + [999999], pa.int32()),
+            "role": pa.array([r[2] for r in rows] + ["system"], pa.string()),
+            "text": pa.array(["x"] * (len(rows) + 1), pa.string()),
+            "tool": pa.array([""] * (len(rows) + 1), pa.string()),
+            "ts": pa.array(
+                [base_us + r[1] * 13_000_000 for r in rows]
+                + [base_us + 999999 * 13_000_000],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    d = str(tmp_path / "turns")
+    os.makedirs(d)
+    pq.write_table(tab, f"{d}/part-00000.parquet")
+    out = {r["conv_id"]: r for r in run_assembly(spark, d, shards=shards).collect()}
+    assert set(out) == {"cN", "cE"}
+    # cN: turns 0..3 = user, "", None, assistant → signature "ua"
+    assert out["cN"]["n_turns"] == 4 and out["cN"]["role_seq"] == "ua"
+    # all-null/empty conversation: counted turns, empty signature
+    assert out["cE"]["n_turns"] == 2 and out["cE"]["role_seq"] == ""
+
+
 def test_conv_assembly_sharded_matches_per_conv(spark):
     """The shard-packed state layout must be row-identical to the
     per-conversation layout on the real corpus — single-batch and
