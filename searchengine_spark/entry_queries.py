@@ -1056,11 +1056,17 @@ sh AS (
 
 
 def _sql_minhash_lsh(threshold: float = 0.8, k: int = OD.MINHASH_K, band: int = OD.MINHASH_BAND) -> str:
+    # Kirsch-Mitzenmacher minhash, in lockstep with ops/dedup.py:
+    # one md5 per shingle, h_i = h1 + i*h2 from the digest's two
+    # 48-bit halves ('0x'||hex)::UBIGINT == Spark conv(hex,16,10)
+    h1 = "CAST(('0x' || substr(md5(s), 1, 12))::UBIGINT AS BIGINT)"
+    h2 = "CAST(('0x' || substr(md5(s), 13, 12))::UBIGINT AS BIGINT)"
     mins = ", ".join(
-        f"list_min(list_transform(ss, s -> substr(md5('{i}:' || s), 1, 16)))" for i in range(k)
+        f"list_min(list_transform(ss, s -> {h1} + {i} * {h2}))" for i in range(k)
     )
     bands = ", ".join(
-        "'" + str(b) + "|' || sig[" + str(b * band + 1) + "] || '|' || sig[" + str(b * band + 2) + "]"
+        "'" + str(b) + "|' || CAST(sig[" + str(b * band + 1) + "] AS VARCHAR)"
+        + " || '|' || CAST(sig[" + str(b * band + 2) + "] AS VARCHAR)"
         for b in range(k // band)
     )
     return f"""{_DOCS_TOKS},

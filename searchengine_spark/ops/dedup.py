@@ -90,18 +90,29 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, sig array<string>) via explode → k salted md5 prefixes →
-    map-side-combined groupBy min. All whole-stage-codegen (no
-    higher-order functions, which run interpreted and re-evaluate the
-    shingle expression per hash); the shuffle carries only k 16-char
-    minima per doc after partial aggregation."""
+    """(doc_id, sig array<long>) via explode → ONE md5 per shingle →
+    k Kirsch-Mitzenmacher derived hashes → map-side-combined groupBy
+    min. All whole-stage-codegen; the shuffle carries only k longs per
+    doc after partial aggregation.
+
+    Hashing cost model (the round-5 change): k salted md5 calls per
+    shingle dominated the signature stage (md5 is the one hash both
+    engines compute identically, but it is not cheap — 8× per shingle
+    was ~4.5 s of the sf0.1 first call). One digest now yields two
+    independent 48-bit halves h1, h2 (hex chars 1-12 / 13-24 — the
+    same `conv(substr(md5,..),16,10)` ≡ DuckDB
+    `('0x'||substr(md5,..))::UBIGINT` idiom ops/sampling.py pins) and
+    hash_i = h1 + i·h2 (Kirsch & Mitzenmacher 2006: two-function
+    double hashing preserves MinHash's collision guarantees). Max
+    value h1 + (k-1)·h2 < k·2^48 ≪ 2^63 — exact BIGINT arithmetic on
+    both engines, no overflow, no float."""
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    d = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(d, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 13, 12), 16, 10).cast("long")
     hashed = ex.select(
         "doc_id",
-        *[
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 16).alias(f"h{i}")
-            for i in range(k)
-        ],
+        *[(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(k)],
     )
     agg = hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
     return agg.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
