@@ -71,6 +71,7 @@ def main() -> None:
     qs, oracles = mod.queries(), mod.oracle_sql()
     only = set(sys.argv[1:])
     n_pass = n_fail = n_noor = 0
+    per_query: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,6 +87,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"  -- {name}: {len(rows)} rows (no oracle, rows-only) [{dt:.1f}s]")
+            per_query[name] = {"pass": True, "rows": len(rows), "seconds": round(dt, 1), "rows_only": True}
             n_noor += 1
             continue
         try:
@@ -99,7 +101,9 @@ def main() -> None:
         ok_rows = len(rows) == len(orows)
         ok_schema = sorted(cols) == sorted(ocols)
         ok_hash = value_hash(cols, rows) == value_hash(ocols, orows)
-        if ok_rows and ok_schema and ok_hash:
+        ok = ok_rows and ok_schema and ok_hash
+        per_query[name] = {"pass": ok, "rows": len(rows), "seconds": round(dt, 1)}
+        if ok:
             print(f"  ok {name}: {len(rows)} rows [{dt:.1f}s]")
             n_pass += 1
         else:
@@ -109,6 +113,30 @@ def main() -> None:
             )
             n_fail += 1
     print(json.dumps({"pass": n_pass, "fail": n_fail, "rows_only": n_noor}))
+    out = os.environ.get("SENG_SELFCHECK_OUT")
+    if out and not only:
+        import datetime
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+        artifact = {
+            "what": (
+                "builder self-check: scripts/verify_contract.py over ALL "
+                "queries()/oracle_sql() pairs at sf0.01 (row count + schema + "
+                "sorted value hash vs DuckDB) - the same three checks as the "
+                "driver's CORRECTNESS artifact"
+            ),
+            "git": sha,
+            "date": datetime.date.today().isoformat(),
+            "sf": float(os.path.basename(SF_DIR).removeprefix("sf") or 0.01),
+            "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_noor},
+            "queries": per_query,
+        }
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
