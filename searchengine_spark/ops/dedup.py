@@ -95,17 +95,21 @@ def _minhash_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     min. All whole-stage-codegen; the shuffle carries only k longs per
     doc after partial aggregation.
 
-    Hashing cost model (the round-5 change): k salted md5 calls per
-    shingle dominated the signature stage (md5 is the one hash both
-    engines compute identically, but it is not cheap — 8× per shingle
-    was ~4.5 s of the sf0.1 first call). One digest now yields two
-    independent 48-bit halves h1, h2 (hex chars 1-12 / 13-24 — the
-    same `conv(substr(md5,..),16,10)` ≡ DuckDB
+    Hashing cost model (the round-5 change): one md5 digest per
+    shingle instead of k salted ones (md5 is the one hash both engines
+    compute identically). The digest yields two independent 48-bit
+    halves h1, h2 (hex chars 1-12 / 13-24 — the same
+    `conv(substr(md5,..),16,10)` ≡ DuckDB
     `('0x'||substr(md5,..))::UBIGINT` idiom ops/sampling.py pins) and
     hash_i = h1 + i·h2 (Kirsch & Mitzenmacher 2006: two-function
-    double hashing preserves MinHash's collision guarantees). Max
-    value h1 + (k-1)·h2 < k·2^48 ≪ 2^63 — exact BIGINT arithmetic on
-    both engines, no overflow, no float."""
+    double hashing preserves MinHash's collision guarantees). Measured
+    honestly at sf0.1 the warm signature stage is at parity (~0.2 s
+    both ways — the stage is explode/shuffle-bound, not digest-bound);
+    the real wins are the shuffle payload (k int64 minima = 64 bytes
+    per doc vs k 16-char strings ≈ 2× + object overhead — the gap that
+    matters at 10^12-turn scale) and exact BIGINT band keys on both
+    engines. Max value h1 + (k-1)·h2 < k·2^48 ≪ 2^63 — no overflow,
+    no float."""
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     d = F.md5(F.col("s"))
     h1 = F.conv(F.substring(d, 1, 12), 16, 10).cast("long")
