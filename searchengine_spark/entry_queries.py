@@ -80,6 +80,12 @@ def clear_direct_cache() -> None:
         except Exception:
             pass
     _SHINGLE_CACHE.clear()
+    for sig in _SIMHASH_SIG_CACHE.values():
+        try:
+            sig.unpersist()
+        except Exception:
+            pass
+    _SIMHASH_SIG_CACHE.clear()
     # localCheckpointed frames hold executor block storage until the
     # session stops — release it eagerly so clearing caches mid-session
     # (e.g. switching corpora) doesn't strand storage
@@ -695,6 +701,23 @@ def shingle_ctx(spark, sf_dir) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+# session-scoped SimHash signature cache: q_docs_simhash and
+# q_docs_simhash_neardup both need the tokenize + 48-bit-majority pass;
+# persisting (doc_id, simhash) once per corpus means the second caller
+# starts directly at the band/bucket join
+_SIMHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def simhash_ctx(spark, sf_dir) -> DataFrame:
+    path = f"{sf_dir}/documents.parquet"
+    key = (_session_key(spark), path)
+    if key not in _SIMHASH_SIG_CACHE:
+        _SIMHASH_SIG_CACHE[key] = OD.simhash_signatures(
+            spark.read.parquet(path)
+        ).persist()
+    return _SIMHASH_SIG_CACHE[key]
+
+
 # session-scoped embedding near-dup pair cache: q_emb_neardup_pairs and
 # q_emb_dedup_clusters both need the blocked-GEMM pair graph; sharing the
 # materialized frame means the GEMM job runs once per corpus per session
@@ -934,11 +957,13 @@ def q_events_sessionize_stream(spark, sf_dir):
 
 
 def q_docs_simhash(spark, sf_dir):
-    return OD.simhash_signatures(_documents(spark, sf_dir)).orderBy("doc_id")
+    return simhash_ctx(spark, sf_dir).orderBy("doc_id")
 
 
 def q_docs_simhash_neardup(spark, sf_dir):
-    return OD.simhash_neardup_pairs(_documents(spark, sf_dir))
+    return OD.simhash_neardup_pairs(
+        _documents(spark, sf_dir), sigs=simhash_ctx(spark, sf_dir)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -263,12 +263,18 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, *, max_hamming: int = 3, bits: int = SIMHASH_BITS
+    docs: DataFrame, *, max_hamming: int = 3, bits: int = SIMHASH_BITS,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature into (max_hamming+1)
     12-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
-    bucket-join, verify with popcount(xor) ≤ max_hamming."""
-    sigs = simhash_signatures(docs, bits)
+    bucket-join, verify with popcount(xor) ≤ max_hamming.
+
+    ``sigs`` lets a serving session pass an already-persisted
+    (doc_id, simhash) frame (shared with :func:`simhash_signatures`
+    consumers) so the tokenize + 48-bit-sum pass runs once per corpus."""
+    if sigs is None:
+        sigs = simhash_signatures(docs, bits)
     n_chunks = max_hamming + 1
     w = bits // n_chunks
     chunks = sigs.select(
