@@ -69,6 +69,18 @@ def test_simhash_identical_and_neardup(spark, docs):
     assert (1, 2, 0) in pairs
 
 
+def test_simhash_neardup_precomputed_sigs_identical(spark, docs):
+    """The serving cache hands simhash_neardup_pairs an already-persisted
+    signature frame; output must be identical to the self-computed path."""
+    own = OD.simhash_neardup_pairs(docs).collect()
+    sigs = OD.simhash_signatures(docs).persist()
+    try:
+        shared = OD.simhash_neardup_pairs(docs, sigs=sigs).collect()
+    finally:
+        sigs.unpersist()
+    assert shared == own
+
+
 def test_langid(spark):
     d = spark.createDataFrame(
         [
