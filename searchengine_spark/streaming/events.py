@@ -206,7 +206,9 @@ def events_sessionize_stream(
     )
 
 
-def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hourly_rollup(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Per-(hour, event_type) rollup computed BY A STREAMING QUERY:
     ``readStream`` over the staged events dir, 1-hour event-time
     windows with a 1-hour watermark (the late-data bound a production
@@ -216,7 +218,13 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete output mode so every window is emitted for the bounded
     fixture — append mode would hold back windows newer than
     max(ts) - watermark, which is correct for an unbounded stream but
-    unverifiable against a batch oracle."""
+    unverifiable against a batch oracle.
+
+    ``state_partitions`` bounds the windowed-agg state-store partition
+    count (each partition costs a store instance + delta commit per
+    micro-batch; the group count here is hours × event_types, far
+    below the session's batch shuffle width — same rationale as
+    :func:`events_sessionize_stream`)."""
     d = stage_events_dir(sf_dir)
     name = "events_rollup_" + uuid.uuid4().hex[:8]
     stream = (
@@ -232,14 +240,20 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), S.SCORE_DECIMALS).alias("sum_value"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # materialize + drop the sink view (same driver-memory-leak
     # rationale as events_sessionize_stream)
     res = spark.table(name).localCheckpoint(eager=True)
