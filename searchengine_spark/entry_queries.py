@@ -362,10 +362,14 @@ def q_bm25_fuzzy(spark, sf_dir):
 
 def q_term_df_top(spark, sf_dir):
     tok, _ = direct_ctx(spark, sf_dir)
+    # df = docs containing the term: dedupe per-doc INSIDE the array
+    # (array_distinct, scan-local) so the shuffle carries one row per
+    # (doc, term) and the agg is a plain count — no count_distinct's
+    # expand+dedup pass over repeated tokens
     return (
-        tok.select("doc_id", F.explode("tokens").alias("term"))
+        tok.select(F.explode(F.array_distinct("tokens")).alias("term"))
         .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )

@@ -124,9 +124,11 @@ def topk_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
 
     ex = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = ex.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # df derives from tf — its rows are already distinct (doc, term)
+    # pairs — so the corpus is tokenized ONCE (the tf aggregate is a
+    # shared subplan; ReuseExchange dedups it) instead of a second
+    # explode + full distinct shuffle
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N folds into the plan as a one-row cross join (the oracle's shape)
     # instead of an eager count() — one job per call, not two
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
