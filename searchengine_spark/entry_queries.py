@@ -249,12 +249,12 @@ def q_search_sorted_recent(spark, sf_dir):
     """Explicit user sort (R4, rank.go:100-110): matching docs ordered
     by the sortable ts field, ranking fully overridden."""
     tok, _ = direct_ctx(spark, sf_dir)
-    match = (
-        tok.select("doc_id", "ts", F.explode("tokens").alias("term"))
-        .where(F.col("term").isin(Q_FILTERED))
-        .select("doc_id", "ts")
-        .distinct()
-    )
+    # "doc contains any query term" as a scan-local arrays_overlap
+    # predicate: tok is one row per doc, so no explode and no distinct
+    # shuffle — the only exchange left is the top-k sort
+    match = tok.where(
+        F.arrays_overlap("tokens", F.array(*[F.lit(t) for t in Q_FILTERED]))
+    ).select("doc_id", "ts")
     return (
         match.orderBy(F.desc("ts"), F.asc("doc_id"))
         .limit(25)
@@ -343,12 +343,21 @@ def q_bm25_fuzzy(spark, sf_dir):
     """Fuzziness=1 (reference search.go:122): expand against the corpus
     term dictionary with levenshtein<=1, then score each expansion."""
     tok, stats = direct_ctx(spark, sf_dir)
+    # length-window + per-doc dedup happen INSIDE the array (scan-local)
+    # and the levenshtein predicate runs BEFORE the global distinct, so
+    # the dedup shuffle carries only the handful of lev<=1 matches
+    # instead of every length-windowed token occurrence
+    lo, hi = len(FUZZY_SOURCE) - 1, len(FUZZY_SOURCE) + 1
     vocab = (
-        tok
-        .select(F.explode("tokens").alias("term"))
-        .where(F.length("term").between(len(FUZZY_SOURCE) - 1, len(FUZZY_SOURCE) + 1))
-        .distinct()
+        tok.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter("tokens", lambda t: F.length(t).between(lo, hi))
+                )
+            ).alias("term")
+        )
         .where(F.levenshtein(F.col("term"), F.lit(FUZZY_SOURCE)) <= 1)
+        .distinct()
     )
     terms = sorted(r["term"] for r in vocab.collect())
     return search_direct(
